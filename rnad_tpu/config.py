@@ -1,0 +1,169 @@
+"""Typed configuration objects for the rnad_tpu framework.
+
+The reference configures everything through Python constructor kwargs
+(``Tree.__init__`` at reference environment/tree.py:67-113 and
+``RNaD.__init__`` at reference learn/rnad.py:34-74), including three arbitrary
+Python lambdas that shape the generated game tree.  Lambdas are not
+serializable and not vectorizable, so here they are replaced by a declared
+family of shaping rules (``ShapingRule``) that covers every use in the
+reference (constant, decrement-by-one, and the stochastic-decrement rule used
+by reference main.py:37) while remaining a pure function of
+``(parent_value, uniform_draw)`` — which is what makes level-synchronous,
+fully vectorized tree generation possible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ShapingRule:
+    """Declared replacement for the reference's shaping lambdas.
+
+    ``new = old + delta + (u < stochastic_prob) * stochastic_delta`` where
+    ``u ~ U[0, 1)`` is drawn independently per child.
+
+    Reference defaults (environment/tree.py:148-162):
+      * row/col actions: identity          -> ShapingRule()
+      * depth bound:     decrement by one  -> ShapingRule(delta=-1)
+    Reference main.py:37 (``depth_bound - 1 - 2 * (random() < 0.5)``):
+      -> ShapingRule(delta=-1, stochastic_delta=-2, stochastic_prob=0.5)
+    """
+
+    delta: int = 0
+    stochastic_delta: int = 0
+    stochastic_prob: float = 0.0
+
+    def apply(self, value: np.ndarray, u: np.ndarray) -> np.ndarray:
+        out = value + self.delta
+        if self.stochastic_prob > 0.0 and self.stochastic_delta != 0:
+            out = out + (u < self.stochastic_prob) * self.stochastic_delta
+        return out
+
+    def to_json(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_json(cls, d: dict) -> "ShapingRule":
+        return cls(**d)
+
+
+@dataclasses.dataclass(frozen=True)
+class TreeConfig:
+    """Parameters of the random stochastic matrix-tree game.
+
+    Mirrors the reference ``Tree.__init__`` parameters
+    (environment/tree.py:67-113) minus the torch device (arrays are placed by
+    JAX) and with lambdas replaced by shaping rules.
+    """
+
+    max_actions: int = 3
+    max_transitions: int = 1
+    depth_bound: int = 1
+    row_actions: Optional[int] = None  # defaults to max_actions
+    col_actions: Optional[int] = None
+    transition_threshold: float = 0.0
+    terminal_values: Tuple[float, ...] = (-1.0, 1.0)
+    row_actions_rule: ShapingRule = ShapingRule()
+    col_actions_rule: ShapingRule = ShapingRule()
+    depth_bound_rule: ShapingRule = ShapingRule(delta=-1)
+    desc: str = ""
+
+    def root_row_actions(self) -> int:
+        return self.row_actions if self.row_actions is not None else self.max_actions
+
+    def root_col_actions(self) -> int:
+        return self.col_actions if self.col_actions is not None else self.max_actions
+
+    def to_json(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["terminal_values"] = list(self.terminal_values)
+        return d
+
+    @classmethod
+    def from_json(cls, d: dict) -> "TreeConfig":
+        d = dict(d)
+        d["terminal_values"] = tuple(d["terminal_values"])
+        for k in ("row_actions_rule", "col_actions_rule", "depth_bound_rule"):
+            d[k] = ShapingRule.from_json(d[k])
+        return cls(**d)
+
+
+@dataclasses.dataclass(frozen=True)
+class NetConfig:
+    """Network architecture selection (reference learn/rnad.py:145-151)."""
+
+    type: str = "MLP"  # "MLP" | "ConvNet"
+    max_actions: int = 3
+    width: int = 256  # MLP hidden width
+    channels: int = 16  # ConvNet channels
+    depth: int = 1  # ConvNet residual tower depth
+    batch_norm: bool = True  # ConvNet only
+
+    def to_json(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_json(cls, d: dict) -> "NetConfig":
+        return cls(**d)
+
+
+@dataclasses.dataclass(frozen=True)
+class RNaDConfig:
+    """Hyperparameters of the R-NaD trainer.
+
+    Field-for-field mirror of the reference ``RNaD.__init__``
+    (learn/rnad.py:34-74) with the DeepNash-paper defaults
+    (learn/rnad.py:40-64).  ``logit_clip`` is the NeuRD logit threshold
+    (``beta``), not an activation clamp.
+    """
+
+    batch_size: int = 3 * 2**8
+    eta: float = 0.2
+    bounds: Tuple[int, ...] = (100, 165, 200)
+    delta_m: Tuple[int, ...] = (10_000, 100_000, 35_000)
+    lr: float = 5e-5
+    logit_clip: float = 2.0
+    neurd_clip: float = 1e3
+    grad_clip: float = 1e3
+    b1_adam: float = 0.0
+    b2_adam: float = 0.999
+    epsilon_adam: float = 1e-8
+    gamma_averaging: float = 0.001
+    roh_bar: float = 1.0
+    c_bar: float = 1.0
+    epsilon_threshold: float = 0.03
+    n_discrete: int = 32
+    n_batches_per_buffer: int = 1  # 1 == degenerate on-policy buffer
+    buffer_mod: int = 1
+    vtrace_gamma: float = 1.0
+    value_loss_weight: float = 1.0
+    neurd_loss_weight: float = 1.0
+
+    def to_json(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["bounds"] = list(self.bounds)
+        d["delta_m"] = list(self.delta_m)
+        return d
+
+    @classmethod
+    def from_json(cls, d: dict) -> "RNaDConfig":
+        d = dict(d)
+        d["bounds"] = tuple(d["bounds"])
+        d["delta_m"] = tuple(d["delta_m"])
+        return cls(**d)
+
+
+def dump_json(obj, path) -> None:
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=2, sort_keys=True)
+
+
+def load_json(path) -> dict:
+    with open(path) as f:
+        return json.load(f)

@@ -1,0 +1,200 @@
+// Batched exact zero-sum matrix-game solver.
+//
+// TPU-native replacement for the reference's per-node pygambit C++ calls
+// (reference environment/tree.py:199-234): during tree generation every
+// internal node's expected-value matrix must be solved for an exact Nash
+// equilibrium.  The reference calls pygambit's enummixed/lcp solvers one
+// matrix at a time with an O(A^2) Python Decimal conversion per node; here we
+// solve a whole level of the game tree in one batched call, parallelized with
+// OpenMP, using the classic linear-programming formulation of zero-sum games:
+//
+//   value(M) = max_x min_y x^T M y,   x,y simplex-constrained.
+//
+// Shift M' = M + k so every entry >= 1, then solve the primal LP
+//     max 1^T w   s.t.  M' w <= 1,  w >= 0
+// with a dense tableau simplex (slack basis is feasible).  At the optimum,
+// S = 1^T w = 1 / value(M'), the column strategy is y = w / S, and the row
+// strategy is recovered from the duals (reduced costs on slack columns).
+// Any pair of optimal strategies in a zero-sum game is a Nash equilibrium
+// (equilibrium exchangeability), so solving one LP suffices.
+//
+// Determinism: Dantzig pivoting with lowest-index tie-breaks, switching to
+// Bland's rule after an iteration threshold to guarantee termination on
+// degenerate games.  All arithmetic in double precision.
+//
+// Build: g++ -O3 -fopenmp -shared -fPIC solver.cpp -o libsolver.so
+
+#include <cmath>
+#include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+constexpr double kEps = 1e-11;
+constexpr int kBlandAfter = 256;
+constexpr int kMaxIters = 4096;
+
+// Solve one (rows x cols) zero-sum game. Payoff is row-major with leading
+// dimension ld_c (the padded max_cols of the batch tensor).
+// Writes row strategy (length rows), col strategy (length cols), and value.
+int solve_one(const double* payoff, int rows, int cols, int ld_c,
+              double* row_strat, double* col_strat, double* value) {
+  // Trivial cases.
+  if (rows <= 0 || cols <= 0) return 1;
+  if (rows == 1 && cols == 1) {
+    row_strat[0] = 1.0;
+    col_strat[0] = 1.0;
+    *value = payoff[0];
+    return 0;
+  }
+
+  // Shift so that all entries >= 1 (keeps the LP value strictly positive).
+  double mn = payoff[0];
+  for (int r = 0; r < rows; ++r)
+    for (int c = 0; c < cols; ++c) mn = std::min(mn, payoff[r * ld_c + c]);
+  const double k = 1.0 - mn;
+
+  // Tableau: m = rows constraints, n = cols variables, plus m slacks and RHS.
+  const int m = rows, n = cols;
+  const int width = n + m + 1;
+  std::vector<double> T((m + 1) * width, 0.0);
+  std::vector<int> basis(m);
+  auto at = [&](int i, int j) -> double& { return T[i * width + j]; };
+
+  for (int i = 0; i < m; ++i) {
+    for (int j = 0; j < n; ++j) at(i, j) = payoff[i * ld_c + j] + k;
+    at(i, n + i) = 1.0;
+    at(i, n + m) = 1.0;  // RHS
+    basis[i] = n + i;
+  }
+  for (int j = 0; j < n; ++j) at(m, j) = -1.0;  // objective: max sum(w)
+
+  int iters = 0;
+  for (;;) {
+    if (++iters > kMaxIters) return 2;  // should be unreachable for small games
+    const bool bland = iters > kBlandAfter;
+
+    // Entering column.
+    int enter = -1;
+    double best = -kEps;
+    for (int j = 0; j < n + m; ++j) {
+      const double rc = at(m, j);
+      if (rc < -kEps) {
+        if (bland) {
+          enter = j;
+          break;
+        }
+        if (rc < best) {
+          best = rc;
+          enter = j;
+        }
+      }
+    }
+    if (enter < 0) break;  // optimal
+
+    // Ratio test (lowest basis index tie-break).
+    int leave = -1;
+    double best_ratio = 0.0;
+    for (int i = 0; i < m; ++i) {
+      const double a = at(i, enter);
+      if (a > kEps) {
+        const double ratio = at(i, n + m) / a;
+        if (leave < 0 || ratio < best_ratio - kEps ||
+            (ratio < best_ratio + kEps && basis[i] < basis[leave])) {
+          best_ratio = ratio;
+          leave = i;
+        }
+      }
+    }
+    if (leave < 0) return 3;  // unbounded: impossible since M' >= 1
+
+    // Pivot.
+    const double piv = at(leave, enter);
+    const double inv = 1.0 / piv;
+    for (int j = 0; j < width; ++j) at(leave, j) *= inv;
+    at(leave, enter) = 1.0;
+    for (int i = 0; i <= m; ++i) {
+      if (i == leave) continue;
+      const double f = at(i, enter);
+      if (f != 0.0) {
+        for (int j = 0; j < width; ++j) at(i, j) -= f * at(leave, j);
+        at(i, enter) = 0.0;
+      }
+    }
+    basis[leave] = enter;
+  }
+
+  const double S = at(m, n + m);  // optimal objective = 1 / value(M')
+  if (!(S > kEps)) return 4;
+  const double vprime = 1.0 / S;
+
+  // Column strategy from basic variables.
+  for (int c = 0; c < cols; ++c) col_strat[c] = 0.0;
+  for (int i = 0; i < m; ++i)
+    if (basis[i] < n) col_strat[basis[i]] = at(i, n + m) * vprime;
+  // Row strategy from duals: reduced costs on slack columns.
+  for (int r = 0; r < rows; ++r) row_strat[r] = at(m, n + r) * vprime;
+
+  // Clean + renormalize to exact simplex membership.
+  double sx = 0.0, sy = 0.0;
+  for (int r = 0; r < rows; ++r) {
+    if (row_strat[r] < 0.0) row_strat[r] = 0.0;
+    sx += row_strat[r];
+  }
+  for (int c = 0; c < cols; ++c) {
+    if (col_strat[c] < 0.0) col_strat[c] = 0.0;
+    sy += col_strat[c];
+  }
+  if (sx <= 0.0 || sy <= 0.0) return 5;
+  for (int r = 0; r < rows; ++r) row_strat[r] /= sx;
+  for (int c = 0; c < cols; ++c) col_strat[c] /= sy;
+
+  // Report the consistent bilinear value x^T M y (pre-shift payoff).
+  double v = 0.0;
+  for (int r = 0; r < rows; ++r) {
+    if (row_strat[r] == 0.0) continue;
+    double acc = 0.0;
+    for (int c = 0; c < cols; ++c) acc += payoff[r * ld_c + c] * col_strat[c];
+    v += row_strat[r] * acc;
+  }
+  (void)vprime;
+  *value = v;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// payoff:    (batch, max_rows, max_cols) row-major, padded with anything
+// rows/cols: per-game active sizes (1 <= rows <= max_rows etc.)
+// row_strat: (batch, max_rows) output, zero-padded
+// col_strat: (batch, max_cols) output, zero-padded
+// values:    (batch,) output
+// Returns 0 on success, otherwise the first nonzero per-game status code.
+int solve_zero_sum_batch(const double* payoff, const int* rows, const int* cols,
+                         int batch, int max_rows, int max_cols,
+                         double* row_strat, double* col_strat, double* values) {
+  int status = 0;
+#pragma omp parallel for schedule(dynamic, 16)
+  for (int b = 0; b < batch; ++b) {
+    std::memset(row_strat + (size_t)b * max_rows, 0,
+                sizeof(double) * max_rows);
+    std::memset(col_strat + (size_t)b * max_cols, 0,
+                sizeof(double) * max_cols);
+    const int rc = solve_one(payoff + (size_t)b * max_rows * max_cols, rows[b],
+                             cols[b], max_cols, row_strat + (size_t)b * max_rows,
+                             col_strat + (size_t)b * max_cols, values + b);
+    if (rc != 0) {
+#pragma omp critical
+      if (status == 0) status = rc;
+    }
+  }
+  return status;
+}
+
+}  // extern "C"

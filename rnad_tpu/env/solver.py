@@ -1,0 +1,136 @@
+"""Exact zero-sum matrix-game solving (batched).
+
+Replaces the reference's per-node pygambit calls (reference
+environment/tree.py:199-234) with a batched LP formulation.  Primary path is
+the native C++ batched simplex (``csrc/solver.cpp``); the numpy fallback
+implements the identical algorithm so results match across paths.
+
+Because the games are zero-sum, any pair of LP-optimal strategies is a Nash
+equilibrium (equilibrium exchangeability), and its bilinear value is the game
+value — which is what makes the generator's stored solution an exact oracle
+(NashConv == 0, reference tests/test_nashconv.py:28).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from .. import native
+
+_EPS = 1e-11
+_BLAND_AFTER = 256
+_MAX_ITERS = 4096
+
+
+def _solve_one_numpy(payoff: np.ndarray, rows: int, cols: int):
+    """Single-game simplex, mirroring csrc/solver.cpp exactly."""
+    M = payoff[:rows, :cols].astype(np.float64)
+    if rows == 1 and cols == 1:
+        return np.array([1.0]), np.array([1.0]), float(M[0, 0])
+    k = 1.0 - M.min()
+    m, n = rows, cols
+    T = np.zeros((m + 1, n + m + 1))
+    T[:m, :n] = M + k
+    T[:m, n:n + m] = np.eye(m)
+    T[:m, -1] = 1.0
+    T[m, :n] = -1.0
+    basis = list(range(n, n + m))
+
+    iters = 0
+    while True:
+        iters += 1
+        if iters > _MAX_ITERS:
+            raise RuntimeError("simplex iteration limit")
+        obj = T[m, : n + m]
+        if iters > _BLAND_AFTER:
+            cand = np.nonzero(obj < -_EPS)[0]
+            if cand.size == 0:
+                break
+            enter = int(cand[0])
+        else:
+            enter = int(np.argmin(obj))
+            if obj[enter] >= -_EPS:
+                break
+        col = T[:m, enter]
+        pos = col > _EPS
+        if not pos.any():
+            raise RuntimeError("unbounded LP (impossible for shifted game)")
+        ratios = np.where(pos, T[:m, -1] / np.where(pos, col, 1.0), np.inf)
+        best = ratios.min()
+        ties = np.nonzero(ratios < best + _EPS)[0]
+        leave = int(min(ties, key=lambda i: basis[i]))
+        piv = T[leave, enter]
+        T[leave] /= piv
+        for i in range(m + 1):
+            if i != leave and T[i, enter] != 0.0:
+                T[i] -= T[i, enter] * T[leave]
+        basis[leave] = enter
+
+    S = T[m, -1]
+    if not S > _EPS:
+        raise RuntimeError("degenerate game value")
+    vprime = 1.0 / S
+    y = np.zeros(cols)
+    for i in range(m):
+        if basis[i] < n:
+            y[basis[i]] = T[i, -1] * vprime
+    x = T[m, n:n + m] * vprime
+    x = np.clip(x, 0.0, None)
+    y = np.clip(y, 0.0, None)
+    x /= x.sum()
+    y /= y.sum()
+    v = float(x @ M @ y)
+    return x, y, v
+
+
+def _solve_batch_numpy(payoff, rows, cols):
+    batch, max_r, max_c = payoff.shape
+    row_strat = np.zeros((batch, max_r))
+    col_strat = np.zeros((batch, max_c))
+    values = np.zeros((batch,))
+    for b in range(batch):
+        x, y, v = _solve_one_numpy(payoff[b], int(rows[b]), int(cols[b]))
+        row_strat[b, : x.size] = x
+        col_strat[b, : y.size] = y
+        values[b] = v
+    return row_strat, col_strat, values
+
+
+_warned = False
+
+
+def solve_zero_sum_batch(payoff: np.ndarray, rows: np.ndarray,
+                         cols: np.ndarray):
+    """Solves a batch of zero-sum games exactly.
+
+    Args:
+      payoff: (batch, max_rows, max_cols) float array, row-player payoffs;
+        entries beyond the active (rows[b], cols[b]) block are ignored.
+      rows, cols: (batch,) int arrays of active sizes.
+
+    Returns:
+      (row_strat (batch, max_rows), col_strat (batch, max_cols),
+       values (batch,)) as float64 arrays; strategies zero-padded.
+    """
+    global _warned
+    payoff = np.asarray(payoff, dtype=np.float64)
+    rows = np.asarray(rows, dtype=np.int32)
+    cols = np.asarray(cols, dtype=np.int32)
+    if payoff.ndim != 3:
+        raise ValueError(f"payoff must be 3D, got {payoff.shape}")
+    try:
+        return native.solve_zero_sum_batch_native(payoff, rows, cols)
+    except RuntimeError:
+        if not _warned:
+            logging.warning("falling back to numpy zero-sum solver")
+            _warned = True
+        return _solve_batch_numpy(payoff, rows, cols)
+
+
+def exploitability(payoff: np.ndarray, x: np.ndarray, y: np.ndarray,
+                   rows: int, cols: int) -> float:
+    """max_r (M y)_r - min_c (x M)_c : zero iff (x, y) is a Nash equilibrium."""
+    M = np.asarray(payoff, dtype=np.float64)[:rows, :cols]
+    return float((M @ y[:cols]).max() - (x[:rows] @ M).min())
