@@ -1,0 +1,263 @@
+"""Two-player V-trace with the R-NaD reward transformation, plus the NeuRD
+and critic losses.
+
+The math follows DeepMind's R-NaD (arXiv:2206.15378) as realized in the
+reference's torch port of the OpenSpiel code (reference learn/vtrace.py).
+That file emulates ``jax.lax.scan`` and pytree-``where`` with hand-written
+Python loops (vtrace.py:90-138); here the reverse scan is native, runs on
+device, and is fully fused into the jitted train step.
+
+Semantics mirrored exactly (reference file:line):
+  * reward transform: ``-eta * sum(pi * log(pi/pi_reg))`` into the reward and
+    ``-eta * log(pi/pi_reg)`` into the Q target, signed +1 for the acting
+    player and -1 for the opponent (vtrace.py:70-87, 234-239);
+  * the 5-field scan carry and its player/opponent/reset selection
+    (vtrace.py:58-67, 249-333);
+  * IS ratios clipped at rho_bar (v target) and c_bar (trace) (266-282);
+  * policy post-processing: epsilon-threshold then greedy discretization onto
+    an n_disc grid in descending-probability order (vtrace.py:24-55) — here
+    as a closed-form clipped-cumsum instead of a Python loop over actions;
+  * NeuRD loss with advantage clipping and the logit-threshold gradient gate
+    (vtrace.py:355-367, 396-431); critic loss (377-393).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class VTraceCarry(NamedTuple):
+    """Carry of the reverse v-trace scan (reference vtrace.py:58-67)."""
+
+    reward: jax.Array  # (B,) discounted reward until end of episode
+    reward_uncorrected: jax.Array  # (B,) incl. eta entropy regularization
+    next_value: jax.Array  # (B, 1)
+    next_v_target: jax.Array  # (B, 1)
+    importance_sampling: jax.Array  # (B,)
+
+
+def _select(pred: jax.Array, on_true, on_false):
+    """Pytree jnp.where with ``pred`` broadcast as a shape prefix
+    (the reference's ``_where``, vtrace.py:90-114)."""
+
+    def one(t, f):
+        p = pred.reshape(pred.shape + (1,) * (t.ndim - pred.ndim))
+        return jnp.where(p, t, f)
+
+    return jax.tree.map(one, on_true, on_false)
+
+
+def player_others(player_ids: jax.Array, valid: jax.Array,
+                  player: int) -> jax.Array:
+    """+1 for the acting player's steps, -1 for others, 0 on invalid steps;
+    trailing singleton dim (reference vtrace.py:70-87)."""
+    res = (2 * (player_ids == player) - 1) * valid
+    return res[..., None].astype(jnp.float32)
+
+
+def has_played(valid: jax.Array, player_id: jax.Array,
+               player: int) -> jax.Array:
+    """Mask of steps that have a successor step for ``player``
+    (reference vtrace.py:141-177)."""
+
+    def loop(carry, x):
+        v, pid = x
+        out = _select(v, _select(pid == player, jnp.ones_like(carry), carry),
+                      jnp.zeros_like(carry))
+        new_carry = _select(v, carry, jnp.zeros_like(carry))
+        return new_carry, out
+
+    init = jnp.zeros_like(player_id[-1])
+    _, result = jax.lax.scan(loop, init, (valid, player_id), reverse=True)
+    return result
+
+
+def policy_ratio(pi: jax.Array, mu: jax.Array, actions_oh: jax.Array,
+                 valid: jax.Array) -> jax.Array:
+    """pi/mu of the chosen action; 1 on invalid steps (vtrace.py:180-204)."""
+    prob = lambda p: (actions_oh * p).sum(-1) * valid + (1 - valid)
+    return prob(pi) / prob(mu)
+
+
+def v_trace(
+    v: jax.Array,  # (T, B, 1) critic values
+    valid: jax.Array,  # (T, B)
+    player_id: jax.Array,  # (T, B)
+    acting_policy: jax.Array,  # (T, B, A) behavior policy mu
+    merged_policy: jax.Array,  # (T, B, A) post-processed learner policy
+    merged_log_policy: jax.Array,  # (T, B, A) regularized log policy
+    p_others: jax.Array,  # (T, B, 1) from player_others()
+    actions_oh: jax.Array,  # (T, B, A)
+    reward: jax.Array,  # (T, B) from this player's perspective
+    player: int,
+    *,
+    eta: float,
+    lambda_: float = 1.0,
+    c: float = 1.0,
+    rho: float = 1.0,
+    gamma: float = 1.0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Custom V-trace over mixed-player trajectories (vtrace.py:207-352).
+
+    Returns (v_target (T,B,1), has_played (T,B), learning_output (T,B,A)).
+    """
+    played = has_played(valid, player_id, player)
+
+    ratio = policy_ratio(merged_policy, acting_policy, actions_oh, valid)
+    inv_mu = policy_ratio(jnp.ones_like(merged_policy), acting_policy,
+                          actions_oh, valid)
+
+    eta_reg_entropy = (-eta
+                       * (merged_policy * merged_log_policy).sum(-1)
+                       * jnp.squeeze(p_others, -1))
+    eta_log_policy = -eta * merged_log_policy * p_others
+
+    init = VTraceCarry(
+        reward=jnp.zeros_like(reward[-1]),
+        reward_uncorrected=jnp.zeros_like(reward[-1]),
+        next_value=jnp.zeros_like(v[-1]),
+        next_v_target=jnp.zeros_like(v[-1]),
+        importance_sampling=jnp.ones_like(ratio[-1]),
+    )
+
+    def loop(carry: VTraceCarry, x):
+        (cs, pid, v_t, r_t, ent_t, valid_t, inv_mu_t, aoh_t, elp_t) = x
+
+        reward_uncorrected = r_t + gamma * carry.reward_uncorrected + ent_t
+        discounted_reward = r_t + gamma * carry.reward
+
+        our_v_target = (
+            v_t
+            + jnp.minimum(cs * carry.importance_sampling, rho)[..., None]
+            * (reward_uncorrected[..., None] + gamma * carry.next_value - v_t)
+            + lambda_
+            * jnp.minimum(cs * carry.importance_sampling, c)[..., None]
+            * gamma * (carry.next_v_target - carry.next_value))
+
+        our_learning_output = (
+            v_t + elp_t
+            + aoh_t * inv_mu_t[..., None]
+            * (discounted_reward[..., None]
+               + gamma * carry.importance_sampling[..., None]
+               * carry.next_v_target
+               - v_t))
+
+        our_carry = VTraceCarry(
+            reward=jnp.zeros_like(carry.reward),
+            reward_uncorrected=jnp.zeros_like(carry.reward_uncorrected),
+            next_value=v_t,
+            next_v_target=our_v_target,
+            importance_sampling=jnp.ones_like(carry.importance_sampling))
+        opp_carry = VTraceCarry(
+            reward=ent_t + cs * discounted_reward,
+            reward_uncorrected=reward_uncorrected,
+            next_value=gamma * carry.next_value,
+            next_v_target=gamma * carry.next_v_target,
+            importance_sampling=cs * carry.importance_sampling)
+
+        zero_out = (jnp.zeros_like(our_v_target),
+                    jnp.zeros_like(our_learning_output))
+        carry_out, y = _select(
+            valid_t,
+            _select(pid == player,
+                    (our_carry, (our_v_target, our_learning_output)),
+                    (opp_carry, zero_out)),
+            (init, zero_out))
+        return carry_out, y
+
+    xs = (ratio, player_id, v, reward, eta_reg_entropy, valid, inv_mu,
+          actions_oh, eta_log_policy)
+    _, (v_target, learning_output) = jax.lax.scan(loop, init, xs,
+                                                  reverse=True)
+    return v_target, played, learning_output
+
+
+def process_policy(policy: jax.Array, mask: jax.Array, n_disc: int,
+                   epsilon_threshold: float = 0.03) -> jax.Array:
+    """Epsilon-threshold + grid discretization of the learner policy
+    (reference vtrace.py:24-55), loop-free.
+
+    Probabilities below the threshold are zeroed (unless all are below it),
+    the rest renormalized, then each probability is rounded up to blocks of
+    1/n_disc and blocks are granted greedily in descending-probability order
+    until n_disc blocks are spent — expressed here as a clipped exclusive
+    cumulative sum over the sorted blocks.
+    """
+    keep = mask * ((policy >= epsilon_threshold)
+                   + (policy.max(-1, keepdims=True) < epsilon_threshold))
+    keep = jnp.minimum(keep, 1.0)
+    p = keep * policy
+    p = p / jnp.maximum(p.sum(-1, keepdims=True), 1e-30)
+
+    blocks = jnp.ceil(n_disc * p).astype(jnp.float32)
+    order = jnp.argsort(-p, axis=-1)  # stable: ties broken by action index
+    sorted_blocks = jnp.take_along_axis(blocks, order, axis=-1)
+    excl = jnp.cumsum(sorted_blocks, axis=-1) - sorted_blocks
+    granted = jnp.clip(n_disc - excl, 0.0, sorted_blocks)
+    result = jnp.zeros_like(p)
+    result = jnp.put_along_axis(result, order, granted, axis=-1,
+                                inplace=False)
+    return result / n_disc
+
+
+def apply_force_with_threshold(decision_outputs: jax.Array, force: jax.Array,
+                               threshold: float,
+                               threshold_center: jax.Array) -> jax.Array:
+    """NeuRD gradient gate: forces only apply while the logit stays inside
+    [-threshold, threshold] in the force's direction (vtrace.py:355-367)."""
+    can_decrease = decision_outputs - threshold_center > -threshold
+    can_increase = decision_outputs - threshold_center < threshold
+    force_negative = jnp.minimum(force, 0.0)
+    force_positive = jnp.maximum(force, 0.0)
+    clipped = can_decrease * force_negative + can_increase * force_positive
+    return decision_outputs * jax.lax.stop_gradient(clipped)
+
+
+def renormalize(loss: jax.Array, mask: jax.Array) -> jax.Array:
+    loss = (loss * mask).sum()
+    n = mask.sum()
+    return loss / (n + (n == 0.0))
+
+
+def get_loss_v(v_list: Sequence[jax.Array],
+               v_target_list: Sequence[jax.Array],
+               mask_list: Sequence[jax.Array]) -> jax.Array:
+    """Masked MSE critic loss against detached targets (vtrace.py:377-393)."""
+    total = 0.0
+    for v_n, v_target, mask in zip(v_list, v_target_list, mask_list):
+        err = mask[..., None] * (
+            v_n - jax.lax.stop_gradient(v_target)) ** 2
+        n = mask.sum()
+        total = total + err.sum() / (n + (n == 0.0))
+    return total
+
+
+def get_loss_nerd(logit_list: Sequence[jax.Array],
+                  policy_list: Sequence[jax.Array],
+                  q_vr_list: Sequence[jax.Array],
+                  valid: jax.Array,
+                  player_ids: jax.Array,
+                  legal_actions: jax.Array,
+                  importance_sampling_correction: Sequence[jax.Array],
+                  clip: float = 100.0,
+                  threshold: float = 2.0) -> jax.Array:
+    """NeuRD policy loss (vtrace.py:396-431)."""
+    total = 0.0
+    for k, (logit_pi, pi, q_vr, is_c) in enumerate(
+            zip(logit_list, policy_list, q_vr_list,
+                importance_sampling_correction)):
+        adv_pi = q_vr - (pi * q_vr).sum(-1, keepdims=True)
+        adv_pi = is_c * adv_pi
+        adv_pi = jnp.clip(adv_pi, -clip, clip)
+        adv_pi = jax.lax.stop_gradient(adv_pi)
+
+        logits = logit_pi - (logit_pi * legal_actions).mean(-1, keepdims=True)
+        nerd = (legal_actions
+                * apply_force_with_threshold(
+                    logits, adv_pi, threshold,
+                    jnp.zeros_like(logits))).sum(-1)
+        total = total - renormalize(nerd, valid * (player_ids == k))
+    return total

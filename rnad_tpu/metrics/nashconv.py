@@ -1,0 +1,162 @@
+"""Exact exploitability (NashConv) of a joint policy on a game tree.
+
+The reference computes NashConv with a per-node recursive Python DFS on the
+CPU (reference util/metric.py:93-175) — the biggest host bottleneck at scale.
+Here the same computation is expressed as **level-synchronous backward
+induction** on device: every node's best-response values are recomputed in
+parallel each pass from its children's values, and after ``max_depth`` passes
+the root values are exact (nodes at depth d are correct after pass d, since
+every child of a depth-d node has depth < d).  Each pass is one batched
+gather + chance-weighted reduction + masked max over the whole node table.
+
+NashConv(root) = row_best[1] + col_best[1] (reference learn/rnad.py:351);
+it is 0 iff the joint policy is a Nash equilibrium — which the generator's
+stored solution must satisfy (reference tests/test_nashconv.py:28).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..env.tree import GameTree
+
+_NEG_INF = -1e30
+
+
+@struct.dataclass
+class NashConvResult:
+    row_best: jax.Array  # (S,) row player's best-response value vs pi_col
+    col_best: jax.Array  # (S,) column player's best-response value vs pi_row
+    reach_probability: jax.Array  # (S,) reach under the joint policy
+
+    def nashconv(self) -> jax.Array:
+        return self.row_best[1] + self.col_best[1]
+
+
+def _split_policy(tree: GameTree, joint_policy: jax.Array):
+    A = tree.max_actions
+    legal_r = tree.legal[:, 0, :, 0]
+    legal_c = tree.legal[:, 0, 0, :]
+    pi_row = jnp.where(legal_r > 0, joint_policy[:, :A], 0.0)
+    pi_col = jnp.where(legal_c > 0, joint_policy[:, A:], 0.0)
+    return pi_row, pi_col, legal_r, legal_c
+
+
+@functools.partial(jax.jit, static_argnames=("num_passes",))
+def _nashconv_impl(tree: GameTree, joint_policy: jax.Array,
+                   num_passes: int) -> NashConvResult:
+    S = tree.index.shape[0]
+    pi_row, pi_col, legal_r, legal_c = _split_policy(tree, joint_policy)
+    is_internal = tree.index > 0
+
+    def backward(_, carry):
+        row_best, col_best = carry
+        child_row = jnp.where(is_internal, row_best[tree.index], tree.value)
+        child_col = jnp.where(is_internal, col_best[tree.index], -tree.value)
+        row_mat = (tree.chance * child_row).sum(axis=1)  # (S, A, A)
+        col_mat = (tree.chance * child_col).sum(axis=1)
+        row_resp = jnp.einsum("sac,sc->sa", row_mat, pi_col)
+        col_resp = jnp.einsum("sa,sac->sc", pi_row, col_mat)
+        rb = jnp.where(legal_r > 0, row_resp, _NEG_INF).max(axis=-1)
+        cb = jnp.where(legal_c > 0, col_resp, _NEG_INF).max(axis=-1)
+        # Absorbing state: value 0 by convention.
+        rb = rb.at[0].set(0.0)
+        cb = cb.at[0].set(0.0)
+        return rb, cb
+
+    zeros = jnp.zeros((S,), tree.value.dtype)
+    row_best, col_best = jax.lax.fori_loop(0, num_passes, backward,
+                                           (zeros, zeros))
+
+    def forward(_, reach):
+        contrib = (reach[:, None, None, None]
+                   * pi_row[:, None, :, None]
+                   * pi_col[:, None, None, :]
+                   * tree.chance)
+        flat_idx = tree.index.reshape(-1)
+        flat_contrib = jnp.where(flat_idx > 0, contrib.reshape(-1), 0.0)
+        new = jnp.zeros((S,), reach.dtype).at[flat_idx].add(flat_contrib)
+        return new.at[1].set(1.0)
+
+    reach0 = jnp.zeros((S,), tree.value.dtype).at[1].set(1.0)
+    reach = jax.lax.fori_loop(0, num_passes, forward, reach0)
+
+    return NashConvResult(row_best=row_best, col_best=col_best,
+                          reach_probability=reach)
+
+
+def nashconv(tree: GameTree, joint_policy: jax.Array) -> NashConvResult:
+    """Exact best-response values and reach probabilities for every node."""
+    return _nashconv_impl(tree, joint_policy, tree.max_depth)
+
+
+def mean_nashconv_by_depth(tree: GameTree,
+                           result: NashConvResult) -> Dict[int, float]:
+    """Per-depth mean exploitability (reference util/metric.py:178-190).
+    Depth here is the longest distance to a terminal; the root has the
+    maximum depth."""
+    depth = np.asarray(tree.depth)
+    total = np.asarray(result.row_best + result.col_best)
+    means: Dict[int, float] = {}
+    for d in range(1, tree.max_depth + 1):
+        sel = depth == d
+        if sel.any():
+            means[d] = float(total[sel].mean())
+    return means
+
+
+def joint_policy_from_net(tree: GameTree, apply_fn, variables,
+                          inference_batch_size: int = 100_000) -> jax.Array:
+    """Policy of both seats for every tree node (reference metric.py:51-82).
+
+    ``apply_fn(variables, obs) -> (logits, value)``; masking follows the
+    models.common semantics.  Chunked so very large trees fit in HBM; chunks
+    are zero-padded to a fixed shape so only one program is compiled.
+    """
+    from ..models import common  # local import to avoid cycle
+
+    S = tree.index.shape[0]
+    A = tree.max_actions
+    chunk = min(inference_batch_size, S)
+
+    @jax.jit
+    def infer(ev, lg):
+        row_obs = jnp.concatenate([ev, lg], axis=1)
+        col_obs = jnp.concatenate([-ev, lg], axis=1).swapaxes(2, 3)
+        obs = jnp.concatenate([row_obs, col_obs], axis=0)
+        logits, _ = apply_fn(variables, obs)
+        legal = obs[:, 1, :, 0]
+        p = common.masked_policy(logits, legal)
+        n = ev.shape[0]
+        return jnp.concatenate([p[:n], p[n:]], axis=-1)  # (n, 2A)
+
+    outs = []
+    for start in range(0, S, chunk):
+        stop = min(start + chunk, S)
+        ev = tree.expected_value[start:stop]
+        lg = tree.legal[start:stop]
+        if stop - start < chunk:  # pad the tail chunk to the compiled shape
+            pad = chunk - (stop - start)
+            ev = jnp.pad(ev, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            lg = jnp.pad(lg, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            lg = lg.at[stop - start:, 0, 0, 0].set(1.0)  # keep softmax sane
+            outs.append(infer(ev, lg)[: stop - start])
+        else:
+            outs.append(infer(ev, lg))
+    return jnp.concatenate(outs, axis=0)
+
+
+def kld(p: jax.Array, q: jax.Array, valid: jax.Array,
+        legal_actions: jax.Array) -> jax.Array:
+    """Masked KL divergence diagnostic (reference util/metric.py:193-211)."""
+    sel = (valid[..., None] * legal_actions) > 0
+    safe = lambda x: jnp.log(jnp.maximum(x, 1e-30))
+    terms = jnp.where(sel, p * (safe(p) - safe(q)), 0.0)
+    count = valid.sum()
+    return terms.sum() / jnp.maximum(count, 1.0)

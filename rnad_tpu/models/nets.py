@@ -1,0 +1,167 @@
+"""Policy+value networks (flax.linen).
+
+Two interchangeable architectures selected by ``NetConfig.type``, mirroring
+the reference's family (reference nn/net.py):
+
+  * ``MLP`` — flattened 2*A*A observation into two separate single-hidden-
+    layer heads (value, policy) (net.py:18-51).
+  * ``ConvNet`` — AlphaZero-style tower of ``CrossConv`` blocks: a
+    matrix-structured convolution whose receptive field is the union of a
+    full row and a full column, implemented as a padded (1, 2A-1) conv plus a
+    padded (2A-1, 1) conv, summed (net.py:88-143), with optional BatchNorm
+    residual blocks (net.py:146-172) and linear heads (net.py:175-227).
+
+Both take observations of shape (..., 2, A, A) — [expected-value matrix,
+legality mask] from the mover's point of view — and return raw policy logits
+(masking happens in models.common) and a value scalar.
+
+Unlike the reference there is no Python loop over time anywhere
+(net.py:64-85): trajectory re-inference is a single reshape to (T*B, ...)
+and one forward pass.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import NetConfig
+from . import common
+
+
+class MLP(nn.Module):
+    max_actions: int
+    width: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, obs: jax.Array, train: bool = False
+                 ) -> Tuple[jax.Array, jax.Array]:
+        A = self.max_actions
+        x = obs.reshape(obs.shape[:-3] + (2 * A * A,)).astype(self.dtype)
+        din = 2 * A * A
+        dense = lambda feat, fan_in, name: nn.Dense(
+            feat, name=name, dtype=self.dtype,
+            kernel_init=common.torch_linear_kernel_init,
+            bias_init=common.torch_bias_init(fan_in))
+        v = dense(self.width, din, "value_fc0")(x)
+        v = nn.relu(v)
+        v = dense(1, self.width, "value_fc1")(v)
+        p = dense(self.width, din, "policy_fc0")(x)
+        p = nn.relu(p)
+        logits = dense(A, self.width, "policy_fc1")(p)
+        return logits, v
+
+
+class CrossConv(nn.Module):
+    """Row+column structured conv (reference net.py:88-143)."""
+
+    max_actions: int
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        A = self.max_actions
+        # NHWC layout; pad width for the row conv, height for the col conv.
+        conv = lambda ks, name: nn.Conv(
+            self.features, kernel_size=ks, padding="VALID", name=name,
+            dtype=self.dtype, kernel_init=common.torch_conv_kernel_init,
+            bias_init=common.torch_bias_init(
+                x.shape[-1] * ks[0] * ks[1]))
+        xr = jnp.pad(x, ((0, 0), (0, 0), (A - 1, A - 1), (0, 0)))
+        r = conv((1, 2 * A - 1), "row_conv")(xr)
+        xc = jnp.pad(x, ((0, 0), (A - 1, A - 1), (0, 0), (0, 0)))
+        c = conv((2 * A - 1, 1), "col_conv")(xc)
+        return r + c
+
+
+class ConvResBlock(nn.Module):
+    max_actions: int
+    channels: int
+    batch_norm: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        h = CrossConv(self.max_actions, self.channels, dtype=self.dtype,
+                      name="conv0")(x)
+        h = nn.relu(h)
+        if self.batch_norm:
+            h = nn.BatchNorm(use_running_average=not train, name="bn0",
+                             dtype=self.dtype)(h)
+        h = CrossConv(self.max_actions, self.channels, dtype=self.dtype,
+                      name="conv1")(h)
+        h = nn.relu(h)
+        if self.batch_norm:
+            h = nn.BatchNorm(use_running_average=not train, name="bn1",
+                             dtype=self.dtype)(h)
+        return x + h
+
+
+class ConvNet(nn.Module):
+    max_actions: int
+    channels: int = 16
+    depth: int = 1
+    batch_norm: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, obs: jax.Array, train: bool = False
+                 ) -> Tuple[jax.Array, jax.Array]:
+        A = self.max_actions
+        lead = obs.shape[:-3]
+        # (..., 2, A, A) -> (N, A, A, 2) NHWC
+        x = obs.reshape((-1, 2, A, A)).transpose(0, 2, 3, 1)
+        x = x.astype(self.dtype)
+        x = CrossConv(A, self.channels, dtype=self.dtype, name="pre")(x)
+        for i in range(self.depth):
+            x = ConvResBlock(A, self.channels, self.batch_norm,
+                             dtype=self.dtype, name=f"block{i}")(x, train)
+        flat = x.reshape((x.shape[0], self.channels * A * A))
+        dense = lambda feat, name: nn.Dense(
+            feat, name=name, dtype=self.dtype,
+            kernel_init=common.torch_linear_kernel_init,
+            bias_init=common.torch_bias_init(self.channels * A * A))
+        logits = dense(A, "policy")(flat)
+        value = dense(1, "value")(flat)
+        return logits.reshape(lead + (A,)), value.reshape(lead + (1,))
+
+
+def build_net(config: NetConfig) -> nn.Module:
+    if config.type == "MLP":
+        return MLP(max_actions=config.max_actions, width=config.width)
+    if config.type == "ConvNet":
+        return ConvNet(max_actions=config.max_actions,
+                       channels=config.channels, depth=config.depth,
+                       batch_norm=config.batch_norm)
+    raise ValueError(f"unknown net type: {config.type}")
+
+
+def init_variables(net: nn.Module, key: jax.Array, max_actions: int) -> Dict:
+    obs = jnp.zeros((1, 2, max_actions, max_actions), jnp.float32)
+    return net.init(key, obs)
+
+
+def has_batch_stats(variables: Dict) -> bool:
+    return "batch_stats" in variables
+
+
+def apply_eval(net: nn.Module, variables: Dict, obs: jax.Array
+               ) -> Tuple[jax.Array, jax.Array]:
+    """Inference-mode forward: (logits, value), value squeezed to (...,)."""
+    logits, value = net.apply(variables, obs, train=False)
+    return logits, jnp.squeeze(value, axis=-1)
+
+
+def apply_train(net: nn.Module, variables: Dict, obs: jax.Array
+                ) -> Tuple[Tuple[jax.Array, jax.Array], Dict]:
+    """Training-mode forward; returns updated mutable collections (e.g.
+    BatchNorm running stats), empty dict when the net has none."""
+    mutable = ["batch_stats"] if has_batch_stats(variables) else []
+    (logits, value), mutated = net.apply(variables, obs, train=True,
+                                         mutable=mutable)
+    return (logits, jnp.squeeze(value, axis=-1)), dict(mutated)
