@@ -69,10 +69,22 @@ def rollout(tree: GameTree, actor_fn: ActorFn, variables, key: jax.Array,
     Pure function of (tree, variables, key); jit/shard-map friendly.  One
     scan iteration = one full turn = two emitted half-step records.
     """
+    init = jnp.ones((batch_size,), jnp.int32)
+    return rollout_from(tree, actor_fn, variables, key, init, num_turns)
+
+
+def rollout_from(tree: GameTree, actor_fn: ActorFn, variables,
+                 key: jax.Array, init_indices: jax.Array,
+                 num_turns: int | None = None) -> Trajectory:
+    """Rollout starting from an explicit per-lane state vector.
+
+    Passing the initial indices lets callers attach a sharding constraint to
+    the lane axis so GSPMD shards the entire rollout over a device mesh.
+    """
     if num_turns is None:
         num_turns = tree.max_depth
     tables = stepping.make_step_tables(tree)
-    B = batch_size
+    B = init_indices.shape[0]
 
     def turn_fn(indices, key_t):
         k_act, k_ch = jax.random.split(key_t)
@@ -100,9 +112,8 @@ def rollout(tree: GameTree, actor_fn: ActorFn, variables, key: jax.Array,
         )
         return new_indices, record
 
-    init = jnp.ones((B,), jnp.int32)
     keys = jax.random.split(key, num_turns)
-    _, records = jax.lax.scan(turn_fn, init, keys)
+    _, records = jax.lax.scan(turn_fn, init_indices, keys)
     # (num_turns, 2, B, ...) -> (2 * num_turns, B, ...)
     return jax.tree.map(
         lambda x: x.reshape((2 * num_turns,) + x.shape[2:]), records)

@@ -1,0 +1,60 @@
+"""Replay buffer of rollout batches.
+
+Mirrors the reference ``Buffer`` (reference environment/episode.py:292-334):
+a deque of whole rollout batches, sampled with a uniform multinomial split
+across slots and collated along the lane axis.  The default configuration
+(``n_batches_per_buffer=1, buffer_mod=1``) degenerates to pure on-policy
+training (reference episode.py:294-305, rnad.py:66-67) — in that case the
+trainer bypasses the buffer entirely and fuses rollout+learn in one jitted
+step.
+
+Because every trajectory of a given tree has the same static length
+(2 * max_depth), collation is a plain concatenation along the batch axis —
+no time padding is ever needed (the reference pads because its rollouts stop
+at the last live lane, episode.py:258-290).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..env.engine import Trajectory
+
+
+class TrajectoryBuffer:
+    def __init__(self, max_size: int):
+        self.max_size = max_size
+        self.slots: deque = deque(maxlen=max_size)
+
+    def __len__(self) -> int:
+        return len(self.slots)
+
+    def append(self, traj: Trajectory) -> None:
+        self.slots.append(traj)
+
+    def clear(self) -> None:
+        self.slots.clear()
+
+    def sample(self, batch_size: int,
+               rng: Optional[np.random.Generator] = None) -> Trajectory:
+        n = len(self.slots)
+        if n == 0:
+            raise ValueError("sampling from an empty buffer")
+        if n == 1 and self.slots[0].batch_size == batch_size:
+            return self.slots[0]  # on-policy fast path
+        rng = rng or np.random.default_rng()
+        counts = rng.multinomial(batch_size, [1.0 / n] * n)
+        parts = []
+        for traj, count in zip(self.slots, counts):
+            if count == 0:
+                continue
+            count = min(int(count), traj.batch_size)
+            lanes = jnp.asarray(
+                rng.choice(traj.batch_size, size=count, replace=False))
+            parts.append(jax.tree.map(lambda x: x[:, lanes], traj))
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *parts)

@@ -1,0 +1,413 @@
+"""R-NaD trainer: one fused jitted train step + a thin host schedule loop.
+
+The reference trainer (reference learn/rnad.py) runs, per step: a Python
+rollout loop, four per-timestep trajectory re-inference loops, two Python
+v-trace scans, loss/backward, Adam, and a state_dict-copy EMA — all as
+separate host-driven phases.  Here the entire step body is **one jitted
+program**: rollout (``lax.scan``) → 4-net trajectory inference (single
+batched forwards over (T*B)) → reward transform + two-player v-trace
+(``lax.scan`` reverse) → losses → grads → global-norm clip → Adam → EMA
+target update → metrics.  The host loop owns only the (n, m, alpha) schedule,
+regularization-net rotation, checkpointing, NashConv cadence and logging —
+mirroring reference ``__resume`` (rnad.py:458-531) exactly.
+
+State layout: four network variable pytrees (learner / EMA target /
+regularization pair, reference rnad.py:169-172) + Adam state + RNG key +
+step counter, as one ``TrainState`` pytree so checkpointing is a single
+serialization call.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..config import NetConfig, RNaDConfig
+from ..env import engine
+from ..env.tree import GameTree
+from ..metrics import nashconv as nashconv_lib
+from ..models import common, nets
+from . import vtrace
+from .buffer import TrajectoryBuffer
+
+
+@struct.dataclass
+class TrainState:
+    variables: Any  # learner net (params [+ batch_stats])
+    variables_target: Any  # EMA target net
+    variables_reg: Any  # regularization net (pi_reg)
+    variables_reg_: Any  # previous regularization net (pi_reg_prev)
+    opt_state: Any
+    key: jax.Array  # uint32 PRNG key (legacy format: serializable)
+    total_steps: jax.Array  # int32 scalar
+
+
+def make_optimizer(cfg: RNaDConfig) -> optax.GradientTransformation:
+    """Global-norm clip then Adam with the paper's b1=0
+    (reference rnad.py:232-237, 456)."""
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adam(cfg.lr, b1=cfg.b1_adam, b2=cfg.b2_adam,
+                   eps=cfg.epsilon_adam),
+    )
+
+
+def init_train_state(net, key: jax.Array, max_actions: int,
+                     cfg: RNaDConfig,
+                     init_variables: Optional[Any] = None) -> TrainState:
+    k_init, k_run = jax.random.split(key)
+    variables = (init_variables if init_variables is not None
+                 else nets.init_variables(net, k_init, max_actions))
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(variables["params"])
+    copy = lambda: jax.tree.map(lambda x: x, variables)
+    return TrainState(
+        variables=variables,
+        variables_target=copy(),
+        variables_reg=copy(),
+        variables_reg_=copy(),
+        opt_state=opt_state,
+        key=k_run,
+        total_steps=jnp.zeros((), jnp.int32),
+    )
+
+
+def _forward_trajectory(net, variables, traj: engine.Trajectory, train: bool):
+    """Whole-trajectory inference as one batched forward (no time loop —
+    contrast reference nn/net.py:64-85)."""
+    T, B = traj.rewards.shape
+    obs = traj.observations.reshape((T * B,) + traj.observations.shape[2:])
+    if train:
+        (logits, v), mutated = nets.apply_train(net, variables, obs)
+    else:
+        logits, v = nets.apply_eval(net, variables, obs)
+        mutated = {}
+    A = traj.policy.shape[-1]
+    return logits.reshape(T, B, A), v.reshape(T, B), mutated
+
+
+def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
+               reg_prev_vars, traj: engine.Trajectory, alpha: jax.Array,
+               cfg: RNaDConfig):
+    """Loss of one learner update (mirrors reference ``__learn``,
+    rnad.py:353-456).  Differentiated w.r.t. ``learner_params`` only."""
+    learner_vars = dict(aux_collections, params=learner_params)
+    valid = traj.valid()
+    player_id = traj.turns
+    masks = traj.masks
+
+    logits, v_raw, mutated = _forward_trajectory(net, learner_vars, traj,
+                                                 train=True)
+    v = v_raw[..., None]
+    pi = common.masked_policy(logits, masks)
+    log_pi = common.masked_log_policy(logits, masks)
+    pi_processed = vtrace.process_policy(pi, masks, cfg.n_discrete,
+                                         cfg.epsilon_threshold)
+    pi_processed_sg = jax.lax.stop_gradient(pi_processed)
+
+    # Frozen nets: EMA target for values, regularization pair for the
+    # R-NaD transform (reference rnad.py:377-382).
+    logits_t, v_target_raw, _ = _forward_trajectory(net, target_vars, traj,
+                                                    train=False)
+    pi_target = common.masked_policy(logits_t, masks)
+    v_target_net = jax.lax.stop_gradient(v_target_raw[..., None])
+    logits_r, _, _ = _forward_trajectory(net, reg_vars, traj, train=False)
+    log_pi_reg = common.masked_log_policy(logits_r, masks)
+    logits_rp, _, _ = _forward_trajectory(net, reg_prev_vars, traj,
+                                          train=False)
+    log_pi_reg_prev = common.masked_log_policy(logits_rp, masks)
+
+    # alpha interpolates the two regularization nets' log-policies
+    # (reference rnad.py:382); the whole v-trace block is gradient-free
+    # (computed under no_grad in the reference).
+    log_policy_reg = jax.lax.stop_gradient(log_pi) - (
+        alpha * log_pi_reg + (1.0 - alpha) * log_pi_reg_prev)
+
+    v_target_list, has_played_list, policy_target_list = [], [], []
+    for player in range(2):
+        reward_p = traj.rewards if player == 0 else -traj.rewards
+        v_t, played, pol_t = vtrace.v_trace(
+            v_target_net, valid, player_id, traj.policy, pi_processed_sg,
+            log_policy_reg, vtrace.player_others(player_id, valid, player),
+            traj.actions_oh, reward_p, player,
+            eta=cfg.eta, lambda_=1.0, c=cfg.c_bar, rho=cfg.roh_bar,
+            gamma=cfg.vtrace_gamma)
+        v_target_list.append(jax.lax.stop_gradient(v_t))
+        has_played_list.append(jax.lax.stop_gradient(played))
+        policy_target_list.append(jax.lax.stop_gradient(pol_t))
+
+    loss_v = vtrace.get_loss_v([v, v], v_target_list, has_played_list)
+
+    is_vector = jnp.ones_like(valid)[..., None]
+    loss_nerd = vtrace.get_loss_nerd(
+        [logits, logits], [pi_processed_sg, pi_processed_sg],
+        policy_target_list, valid, player_id, masks,
+        [is_vector, is_vector], clip=cfg.neurd_clip,
+        threshold=cfg.logit_clip)
+
+    loss = cfg.value_loss_weight * loss_v + cfg.neurd_loss_weight * loss_nerd
+
+    # Diagnostics (reference rnad.py:427-454).
+    uniform_policy = masks / jnp.maximum(masks.sum(-1, keepdims=True), 1e-30)
+    logit_mean = logits.mean()
+    metrics = {
+        "loss": loss,
+        "loss_v": loss_v,
+        "loss_nerd": loss_nerd,
+        "traj_len": valid.sum(0).mean(),
+        "logit_mean": logit_mean,
+        "logit_max": jnp.abs(logits - logit_mean).max(),
+        "entropy": nashconv_lib.kld(pi, uniform_policy, valid, masks),
+        "entropy_target": nashconv_lib.kld(pi_target, uniform_policy, valid,
+                                           masks),
+        "actor_learner_kld": nashconv_lib.kld(pi, traj.policy, valid, masks),
+    }
+    return loss, (mutated, metrics)
+
+
+def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
+                  constrain_batch: Optional[Callable] = None):
+    """Builds the jitted step functions.
+
+    ``constrain_batch`` optionally applies a sharding constraint to the
+    per-lane state vector at rollout start (see parallel/), letting GSPMD
+    shard the whole rollout + learner data over a device mesh.
+    """
+    actor_fn = lambda variables, obs: nets.apply_eval(net, variables, obs)
+    tx = make_optimizer(cfg)
+
+    def rollout_fn(state: TrainState) -> Tuple[TrainState, engine.Trajectory]:
+        key, k_roll = jax.random.split(state.key)
+        init = jnp.ones((cfg.batch_size,), jnp.int32)
+        if constrain_batch is not None:
+            init = constrain_batch(init)
+        traj = engine.rollout_from(tree, actor_fn, state.variables, k_roll,
+                                   init, tree.max_depth)
+        return state.replace(key=key), traj
+
+    def learn_fn(state: TrainState, traj: engine.Trajectory,
+                 alpha: jax.Array) -> Tuple[TrainState, Dict]:
+        aux_collections = {k: v for k, v in state.variables.items()
+                           if k != "params"}
+        grad_fn = jax.value_and_grad(learn_loss, has_aux=True)
+        (loss, (mutated, metrics)), grads = grad_fn(
+            state.variables["params"], aux_collections, net,
+            state.variables_target, state.variables_reg,
+            state.variables_reg_, traj, alpha, cfg)
+        metrics["gradient_norm"] = optax.global_norm(grads)
+
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.variables["params"])
+        params = optax.apply_updates(state.variables["params"], updates)
+        variables = dict(mutated, params=params)
+        for k, v in state.variables.items():
+            variables.setdefault(k, v)
+
+        # EMA target update over params and aux stats alike
+        # (reference rnad.py:516-523 copies the full state_dict).
+        g = cfg.gamma_averaging
+        variables_target = jax.tree.map(lambda p, t: g * p + (1.0 - g) * t,
+                                        variables, state.variables_target)
+        new_state = state.replace(
+            variables=variables,
+            variables_target=variables_target,
+            opt_state=opt_state,
+            total_steps=state.total_steps + 1,
+        )
+        return new_state, metrics
+
+    @jax.jit
+    def train_step(state: TrainState, alpha: jax.Array):
+        """Fused on-policy step: rollout + learn + optimize + EMA."""
+        state, traj = rollout_fn(state)
+        return learn_fn(state, traj, alpha)
+
+    rollout_jit = jax.jit(rollout_fn)
+    learn_jit = jax.jit(learn_fn)
+
+    def nashconv_fn(variables) -> nashconv_lib.NashConvResult:
+        joint = nashconv_lib.joint_policy_from_net(tree, actor_fn, variables)
+        return nashconv_lib.nashconv(tree, joint)
+
+    return train_step, rollout_jit, learn_jit, nashconv_fn
+
+
+def rotate_regularization_nets(state: TrainState) -> TrainState:
+    """At each update (m) boundary: pi_reg_prev <- pi_reg; pi_reg <- target
+    (reference rnad.py:528-531).  Pure pytree rebinding, no copies."""
+    return state.replace(variables_reg_=state.variables_reg,
+                         variables_reg=state.variables_target)
+
+
+def alpha_schedule(n: int, delta_m: int) -> float:
+    """Linear 0 -> 1 ramp over the first half of each update period
+    (reference rnad.py:497)."""
+    return 1.0 if n > delta_m / 2 else n * 2.0 / delta_m
+
+
+class RNaD:
+    """Host-side experiment driver: fresh-or-resume lifecycle, two-timescale
+    schedule, checkpointing, NashConv cadence (reference learn/rnad.py:18-547).
+    """
+
+    def __init__(self, tree: GameTree, cfg: RNaDConfig = RNaDConfig(),
+                 net_config: Optional[NetConfig] = None,
+                 directory_name: Optional[str] = None,
+                 runs_root: Optional[str] = None,
+                 seed: int = 0,
+                 use_same_init_net_as: Optional[str] = None,
+                 use_wandb: bool = False):
+        from ..utils.checkpoint import RunStore
+        from ..utils.logging import MetricLogger
+
+        self.tree = tree
+        self.cfg = cfg
+        self.seed = seed
+        if net_config is None:
+            net_config = NetConfig(type="MLP", max_actions=tree.max_actions,
+                                   width=256)
+        self.net_config = net_config
+        self.net = nets.build_net(net_config)
+        if directory_name is None:
+            import time
+            directory_name = str(int(time.time()))
+        self.store = RunStore(directory_name, runs_root)
+        self.runs_root = runs_root
+        self.use_same_init_net_as = use_same_init_net_as
+        self.use_wandb = use_wandb
+        self._logger_cls = MetricLogger
+        self.logger = None
+
+        self.m = 0
+        self.n = 0
+        self.state: Optional[TrainState] = None
+        (self.train_step, self.rollout_jit, self.learn_jit,
+         self.nashconv_fn) = make_rnad_fns(self.net, tree, cfg)
+        self._np_rng = np.random.default_rng(seed + 1)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def _fresh_state(self) -> TrainState:
+        key = jax.random.PRNGKey(self.seed)
+        init_variables = None
+        if self.use_same_init_net_as:
+            from ..utils.checkpoint import RunStore
+            other = RunStore(self.use_same_init_net_as, self.runs_root)
+            template = init_train_state(self.net, key,
+                                        self.tree.max_actions, self.cfg)
+            loaded = other.load_checkpoint(0, 0, template)
+            init_variables = loaded.variables
+            logging.info("loaded init net from run %s",
+                         self.use_same_init_net_as)
+        return init_train_state(self.net, key, self.tree.max_actions,
+                                self.cfg, init_variables)
+
+    def initialize(self) -> None:
+        resumed = False
+        if not self.store.exists() or self.store.latest() is None:
+            logging.info("initializing R-NaD run %s", self.store.name)
+            self.store.save_params({
+                "rnad": self.cfg.to_json(),
+                "net": self.net_config.to_json(),
+                "tree_hash": self.tree.hash,
+                "seed": self.seed,
+                "directory_name": self.store.name,
+            })
+            self.state = self._fresh_state()
+            self.m, self.n = 0, 0
+            self.save_checkpoint()
+        else:
+            params = self.store.load_params()
+            if int(params["tree_hash"]) != int(self.tree.hash):
+                raise AssertionError(
+                    "resume tree hash mismatch: run was trained on a "
+                    "different tree (reference rnad.py:256-258 semantics)")
+            self.m, self.n = self.store.latest()
+            template = init_train_state(
+                self.net, jax.random.PRNGKey(self.seed),
+                self.tree.max_actions, self.cfg)
+            self.state = self.store.load_checkpoint(self.m, self.n, template)
+            resumed = True
+            logging.info("resumed run %s at m=%d n=%d", self.store.name,
+                         self.m, self.n)
+        if self.logger is None:
+            self.logger = self._logger_cls(
+                directory=self.store.directory, use_wandb=self.use_wandb,
+                run_name=self.store.name,
+                config={"rnad": self.cfg.to_json(),
+                        "net": self.net_config.to_json()},
+                resume=resumed)
+
+    def save_checkpoint(self) -> None:
+        self.store.save_checkpoint(self.m, self.n, self.state)
+
+    # -- schedule ----------------------------------------------------------
+
+    def _get_update_info(self) -> Tuple[bool, int]:
+        """(may_resume, delta_m) from cumulative m-bounds
+        (reference rnad.py:321-332)."""
+        bounding = [i for i, b in enumerate(self.cfg.bounds) if b > self.m]
+        if not bounding:
+            return False, 0
+        return True, self.cfg.delta_m[min(bounding)]
+
+    def nashconv(self) -> float:
+        """NashConv of the EMA target net (reference rnad.py:334-351)."""
+        result = self.nashconv_fn(self.state.variables_target)
+        by_depth = nashconv_lib.mean_nashconv_by_depth(self.tree, result)
+        for depth, val in by_depth.items():
+            logging.info("depth:%d nashconv:%f", depth, val)
+        return float(result.nashconv())
+
+    # -- main loop ---------------------------------------------------------
+
+    def run(self, max_updates: int = 10**6, checkpoint_mod: int = 1000,
+            expl_mod: int = 1, log_mod: int = 20) -> None:
+        self.initialize()
+        cfg = self.cfg
+        on_policy = cfg.n_batches_per_buffer == 1 and cfg.buffer_mod == 1
+        buffer = TrajectoryBuffer(cfg.n_batches_per_buffer)
+
+        for _ in range(max_updates):
+            may_resume, delta_m = self._get_update_info()
+            if not may_resume:
+                return
+            logging.info("m: %d, delta_m: %d", self.m, delta_m)
+            buffer.max_size = cfg.n_batches_per_buffer
+
+            if self.m % expl_mod == 0 and self.n == 0 and self.m != 0:
+                value = self.nashconv()
+                self.logger.log({"nashconv": value},
+                                int(self.state.total_steps))
+
+            while self.n < delta_m:
+                alpha = alpha_schedule(self.n, delta_m)
+                if self.n % checkpoint_mod == 0:
+                    self.save_checkpoint()
+
+                if on_policy:
+                    self.state, metrics = self.train_step(
+                        self.state, jnp.float32(alpha))
+                else:
+                    total = int(self.state.total_steps)
+                    if total % cfg.buffer_mod == 0:
+                        self.state, traj = self.rollout_jit(self.state)
+                        buffer.append(traj)
+                    sample = buffer.sample(cfg.batch_size, self._np_rng)
+                    self.state, metrics = self.learn_jit(
+                        self.state, sample, jnp.float32(alpha))
+
+                if self.n % log_mod == 0:
+                    self.logger.log(metrics, int(self.state.total_steps))
+                self.n += 1
+
+            self.n = 0
+            self.m += 1
+            self.state = rotate_regularization_nets(self.state)

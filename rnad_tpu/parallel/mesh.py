@@ -1,0 +1,91 @@
+"""Device mesh and sharding layout.
+
+The reference is strictly single-device (SURVEY.md §2.3).  Here parallelism
+is first-class: a ``('data', 'model')`` mesh where
+
+  * environment lanes, trajectories and all per-lane learner tensors shard
+    over ``data`` (every rollout gather, categorical draw and v-trace scan is
+    lane-parallel, so GSPMD splits them with zero communication);
+  * network parameters optionally shard their hidden dimension over ``model``
+    (tensor parallelism — unnecessary for the reference-sized nets but the
+    layout must not preclude it);
+  * gradients and metrics are combined with ``psum`` collectives inserted
+    automatically by GSPMD from the output shardings (riding ICI within a
+    slice, DCN across slices).
+
+Everything goes through ``jax.jit`` with sharding constraints rather than
+hand-written collectives; see parallel/runtime.py for multi-host init.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              model_parallelism: int = 1) -> Mesh:
+    """Builds a ('data', 'model') mesh over the given (default: all) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % model_parallelism != 0:
+        raise ValueError(f"{n} devices not divisible by "
+                         f"model_parallelism={model_parallelism}")
+    arr = np.array(devices).reshape(n // model_parallelism, model_parallelism)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Lane-axis (leading dimension) sharding."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_constrainer(mesh: Mesh):
+    """Returns a function pinning a per-lane vector to the data axis; GSPMD
+    propagates the lane sharding through the entire rollout and learner."""
+
+    sharding = data_sharding(mesh)
+
+    def constrain(x):
+        return jax.lax.with_sharding_constraint(x, sharding)
+
+    return constrain
+
+
+def mlp_param_spec(path: tuple, leaf) -> P:
+    """Tensor-parallel layout for the MLP: hidden dimension over MODEL_AXIS.
+
+    fc0 kernels are (in, width) -> shard width; fc1 kernels are (width, out)
+    -> shard width on the input side; biases of fc0 shard too; everything
+    else replicates.
+    """
+    names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+    flat = "/".join(str(n) for n in names)
+    if flat.endswith("fc0/kernel"):
+        return P(None, MODEL_AXIS)
+    if flat.endswith("fc0/bias"):
+        return P(MODEL_AXIS)
+    if flat.endswith("fc1/kernel"):
+        return P(MODEL_AXIS, None)
+    return P()
+
+
+def shard_variables(mesh: Mesh, variables, spec_fn=None):
+    """Places a variables pytree on the mesh (replicated unless spec_fn says
+    otherwise)."""
+
+    def place(path, leaf):
+        spec = spec_fn(path, leaf) if spec_fn is not None else P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, variables)

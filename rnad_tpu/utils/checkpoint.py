@@ -1,0 +1,128 @@
+"""Tree and run persistence.
+
+Mirrors the reference's two stores (SURVEY.md §5):
+  * Trees: ``saved_trees/<name>/`` plus a ``recent/`` mirror, with the
+    identity hash used to guard resume against tree/net mismatch
+    (reference environment/tree.py:385-433, learn/rnad.py:256-258).
+  * Runs: ``saved_runs/<name>/params.json`` (full config snapshot) plus one
+    checkpoint file per ``(m, n)`` under ``saved_runs/<name>/<m>/<n>.ckpt``;
+    resume scans for the maximal saved (m, n)
+    (reference learn/rnad.py:190-319).
+
+Array payloads are numpy ``.npz`` (trees) and flax msgpack bytes (run
+states); metadata is JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+from flax import serialization
+
+from ..env import tree as tree_lib
+
+
+def _default_root(sub: str) -> str:
+    return os.path.join(os.getcwd(), sub)
+
+
+# ---------------------------------------------------------------------------
+# Tree store
+# ---------------------------------------------------------------------------
+
+
+def save_tree(tree: tree_lib.GameTree, name: Optional[str] = None,
+              root: Optional[str] = None, desc: str = "",
+              config_json: Optional[dict] = None) -> str:
+    root = root or _default_root("saved_trees")
+    os.makedirs(root, exist_ok=True)
+    if name is None:
+        import time
+        name = str(int(time.time()))
+    meta = tree_lib.tree_meta(tree)
+    meta["desc"] = desc
+    if config_json is not None:
+        meta["config"] = config_json
+    arrays = tree_lib.tree_to_arrays(tree)
+    for target in (name, "recent"):
+        path = os.path.join(root, target)
+        os.makedirs(path, exist_ok=True)
+        np.savez_compressed(os.path.join(path, "tree.npz"), **arrays)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+    return os.path.join(root, name)
+
+
+def load_tree(name: str = "recent",
+              root: Optional[str] = None) -> tree_lib.GameTree:
+    root = root or _default_root("saved_trees")
+    path = os.path.join(root, name)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    with np.load(os.path.join(path, "tree.npz")) as z:
+        arrays = {k: z[k] for k in z.files}
+    return tree_lib.tree_from_arrays(arrays, meta)
+
+
+# ---------------------------------------------------------------------------
+# Run store
+# ---------------------------------------------------------------------------
+
+
+class RunStore:
+    """Directory-backed store of one training run's config and checkpoints."""
+
+    def __init__(self, name: str, root: Optional[str] = None):
+        self.root = root or _default_root("saved_runs")
+        self.name = name
+        self.directory = os.path.join(self.root, name)
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.directory, "params.json"))
+
+    def save_params(self, params: dict) -> None:
+        os.makedirs(self.directory, exist_ok=True)
+        with open(os.path.join(self.directory, "params.json"), "w") as f:
+            json.dump(params, f, indent=2, sort_keys=True)
+
+    def load_params(self) -> dict:
+        with open(os.path.join(self.directory, "params.json")) as f:
+            return json.load(f)
+
+    def checkpoint_path(self, m: int, n: int) -> str:
+        return os.path.join(self.directory, str(m), f"{n}.ckpt")
+
+    def save_checkpoint(self, m: int, n: int, state) -> str:
+        path = self.checkpoint_path(m, n)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        data = serialization.to_bytes(state)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        return path
+
+    def load_checkpoint(self, m: int, n: int, template):
+        """Restores bytes into a pytree shaped like ``template``."""
+        with open(self.checkpoint_path(m, n), "rb") as f:
+            data = f.read()
+        return serialization.from_bytes(template, data)
+
+    def latest(self) -> Optional[Tuple[int, int]]:
+        """Max (m, n) with a saved checkpoint, resume semantics of
+        reference rnad.py:243-272."""
+        if not os.path.isdir(self.directory):
+            return None
+        ms = [int(d) for d in os.listdir(self.directory)
+              if d.isdigit() and os.path.isdir(os.path.join(self.directory, d))]
+        if not ms:
+            return None
+        m = max(ms)
+        ns = [int(f[:-5]) for f in os.listdir(os.path.join(self.directory, str(m)))
+              if f.endswith(".ckpt")]
+        if not ns:
+            return None
+        return m, max(ns)

@@ -1,0 +1,104 @@
+"""Rollout engine tests: reward placement, trajectory structure, determinism,
+and the oracle pair — expected payoff of the stored exact solution equals the
+stored root value (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rnad_tpu.config import NetConfig
+from rnad_tpu.env import engine
+from rnad_tpu.models import nets
+
+
+def test_solution_rollout_matches_root_value(small_tree):
+    t = small_tree
+    traj = engine._jit_rollout_tabular(t, t.solution, jax.random.PRNGKey(0),
+                                       100_000, t.max_depth)
+    returns = engine.episode_returns(traj)
+    mc = float(returns.mean())
+    se = float(returns.std() / np.sqrt(returns.shape[0]))
+    assert abs(mc - float(t.root_value[1, 0])) < max(5 * se, 1e-3)
+
+
+def test_trajectory_structure(small_tree):
+    t = small_tree
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=32))
+    variables = nets.init_variables(net, jax.random.PRNGKey(1), 3)
+    actor = lambda vs, obs: nets.apply_eval(net, vs, obs)
+    traj = engine.rollout(t, actor, variables, jax.random.PRNGKey(2), 256)
+    T = traj.num_half_steps
+    assert T == 2 * t.max_depth
+
+    turns = np.asarray(traj.turns)
+    assert (turns[0::2] == 0).all() and (turns[1::2] == 1).all()
+
+    # row half-steps carry no reward (reference episode.py:96-101)
+    rewards = np.asarray(traj.rewards)
+    assert (rewards[0::2] == 0).all()
+
+    # all lanes start at the root
+    indices = np.asarray(traj.indices)
+    assert (indices[0] == 1).all()
+    # row/col half-steps of a turn share the state index
+    assert (indices[0::2] == indices[1::2]).all()
+
+    # validity never resurrects: once invalid, stays invalid
+    valid = np.asarray(traj.valid())
+    assert (np.diff(valid, axis=0) <= 1e-6).all()
+
+    # behavior policy is a distribution over legal actions on valid steps
+    pol = np.asarray(traj.policy)
+    masks = np.asarray(traj.masks)
+    v = valid > 0
+    assert np.abs(pol.sum(-1)[v] - 1).max() < 1e-5
+    assert (pol[~(masks > 0)] == 0).all()
+
+    # sampled actions are legal
+    acts = np.asarray(traj.actions_oh)
+    assert ((acts * masks).sum(-1)[v] == 1).all()
+
+    # rewards appear exactly on transitions into the absorbing state:
+    # a nonzero reward at t implies the lane is invalid at t+1
+    nz = np.abs(rewards[:-1]) > 0
+    assert (valid[1:][nz] == 0).all()
+
+
+def test_rollout_determinism(small_tree):
+    t = small_tree
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=32))
+    variables = nets.init_variables(net, jax.random.PRNGKey(1), 3)
+    actor = lambda vs, obs: nets.apply_eval(net, vs, obs)
+    f = jax.jit(lambda k: engine.rollout(t, actor, variables, k, 64))
+    t1 = f(jax.random.PRNGKey(5))
+    t2 = f(jax.random.PRNGKey(5))
+    t3 = f(jax.random.PRNGKey(6))
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: bool((a == b).all()), t1, t2))
+    assert not bool((t1.actions_oh == t3.actions_oh).all())
+
+
+def test_observation_seats(small_tree):
+    """Column player sees the negated, transposed matrix
+    (reference episode.py:62-68)."""
+    t = small_tree
+    from rnad_tpu.ops import stepping
+
+    idx = jnp.array([1, 1, 2], jnp.int32)
+    row_obs, col_obs = stepping.observe(t, idx)
+    np.testing.assert_allclose(np.asarray(col_obs[0, 0]),
+                               -np.asarray(row_obs[0, 0]).T, atol=0)
+    np.testing.assert_allclose(np.asarray(col_obs[0, 1]),
+                               np.asarray(row_obs[0, 1]).T, atol=0)
+
+
+def test_terminal_lanes_idle_at_absorbing(tiny_tree):
+    t = tiny_tree
+    traj = engine._jit_rollout_tabular(t, t.solution, jax.random.PRNGKey(0),
+                                       512, t.max_depth + 3)
+    indices = np.asarray(traj.indices)
+    # after max_depth turns every lane must be absorbed
+    assert (indices[2 * t.max_depth:] == 0).all()
+    # absorbed lanes yield zero rewards forever
+    rewards = np.asarray(traj.rewards)
+    assert (rewards[2 * t.max_depth:] == 0).all()

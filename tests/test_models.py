@@ -1,0 +1,100 @@
+"""Model tests: shapes, masking semantics, init distribution, and the
+equivalence of batched trajectory inference with per-step inference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rnad_tpu.config import NetConfig
+from rnad_tpu.models import common, nets
+
+
+def rand_obs(key, n, A=3):
+    k1, k2 = jax.random.split(key)
+    ev = jax.random.normal(k1, (n, 1, A, A))
+    legal = (jax.random.uniform(k2, (n, 1, A, A)) < 0.8).astype(jnp.float32)
+    legal = legal.at[:, :, 0, 0].set(1.0)
+    return jnp.concatenate([ev, legal], axis=1)
+
+
+def test_mlp_shapes_and_masking():
+    A = 3
+    net = nets.build_net(NetConfig(type="MLP", max_actions=A, width=64))
+    variables = nets.init_variables(net, jax.random.PRNGKey(0), A)
+    obs = rand_obs(jax.random.PRNGKey(1), 17, A)
+    logits, value = nets.apply_eval(net, variables, obs)
+    assert logits.shape == (17, A) and value.shape == (17,)
+    legal = obs[:, 1, :, 0]
+    pol = common.masked_policy(logits, legal)
+    assert np.allclose(np.asarray(pol.sum(-1)), 1.0, atol=1e-6)
+    assert (np.asarray(pol)[np.asarray(legal) == 0] == 0).all()
+    logp = common.masked_log_policy(logits, legal)
+    # log-policy is 0 (not -inf) on illegal actions (reference net.py:77)
+    assert (np.asarray(logp)[np.asarray(legal) == 0] == 0).all()
+    sel = np.asarray(legal) > 0
+    np.testing.assert_allclose(np.asarray(jnp.exp(logp))[sel],
+                               np.asarray(pol)[sel], atol=1e-4)
+
+
+def test_convnet_shapes():
+    A = 3
+    net = nets.build_net(NetConfig(type="ConvNet", max_actions=A, channels=8,
+                                   depth=2, batch_norm=True))
+    variables = nets.init_variables(net, jax.random.PRNGKey(0), A)
+    obs = rand_obs(jax.random.PRNGKey(1), 9, A)
+    logits, value = nets.apply_eval(net, variables, obs)
+    assert logits.shape == (9, A) and value.shape == (9,)
+    (logits2, value2), mutated = nets.apply_train(net, variables, obs)
+    assert "batch_stats" in mutated
+
+
+def test_crossconv_receptive_field():
+    """A CrossConv output at (i, j) depends only on row i and column j of the
+    input (the defining property, reference net.py:88-143)."""
+    A = 3
+    net = nets.CrossConv(max_actions=A, features=1)
+    x = jnp.zeros((1, A, A, 1))
+    variables = net.init(jax.random.PRNGKey(0), x)
+    base = net.apply(variables, x)
+    # perturb a cell off row 1 / col 1: output at (1, 1) must not change
+    x2 = x.at[0, 0, 2, 0].set(5.0)
+    out2 = net.apply(variables, x2)
+    assert float(jnp.abs(out2[0, 1, 1, 0] - base[0, 1, 1, 0])) < 1e-6
+    # perturb within row 1: output at (1, 1) must change
+    x3 = x.at[0, 1, 2, 0].set(5.0)
+    out3 = net.apply(variables, x3)
+    assert float(jnp.abs(out3[0, 1, 1, 0] - base[0, 1, 1, 0])) > 1e-6
+
+
+def test_torch_style_init_bounds():
+    A = 3
+    net = nets.build_net(NetConfig(type="MLP", max_actions=A, width=4096))
+    variables = nets.init_variables(net, jax.random.PRNGKey(0), A)
+    k = np.asarray(variables["params"]["policy_fc0"]["kernel"])
+    bound = 1.0 / np.sqrt(2 * A * A)
+    assert k.min() >= -bound and k.max() <= bound
+    assert abs(k.mean()) < bound / 10  # roughly centered
+    k1 = np.asarray(variables["params"]["policy_fc1"]["kernel"])
+    bound1 = 1.0 / np.sqrt(4096)
+    assert k1.min() >= -bound1 and k1.max() <= bound1
+
+
+def test_trajectory_inference_matches_per_step(small_tree):
+    """One batched (T*B) forward == per-timestep forwards (replaces the
+    reference's Python time loop, net.py:64-85)."""
+    from rnad_tpu.env import engine
+    from rnad_tpu.learn.rnad import _forward_trajectory
+
+    t = small_tree
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=32))
+    variables = nets.init_variables(net, jax.random.PRNGKey(0), 3)
+    actor = lambda vs, obs: nets.apply_eval(net, vs, obs)
+    traj = engine.rollout(t, actor, variables, jax.random.PRNGKey(1), 32)
+
+    logits, v, _ = _forward_trajectory(net, variables, traj, train=False)
+    for step in (0, 3, traj.num_half_steps - 1):
+        l_s, v_s = nets.apply_eval(net, variables, traj.observations[step])
+        np.testing.assert_allclose(np.asarray(logits[step]), np.asarray(l_s),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v[step]), np.asarray(v_s),
+                                   atol=1e-6)

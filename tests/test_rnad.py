@@ -1,0 +1,149 @@
+"""Trainer tests: step mechanics, EMA/rotation semantics, checkpoint/resume
+byte-for-byte state recovery, and the buffered (off-policy) path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rnad_tpu.config import NetConfig, RNaDConfig
+from rnad_tpu.learn import rnad as rnad_lib
+from rnad_tpu.models import nets
+
+
+def small_cfg(**kw):
+    base = dict(batch_size=64, eta=0.2, bounds=(2,), delta_m=(4,), lr=1e-3,
+                gamma_averaging=0.01, logit_clip=2.0)
+    base.update(kw)
+    return RNaDConfig(**base)
+
+
+def test_train_step_metrics_finite(small_tree):
+    cfg = small_cfg()
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=32))
+    train_step, _, _, _ = rnad_lib.make_rnad_fns(net, small_tree, cfg)
+    state = rnad_lib.init_train_state(net, jax.random.PRNGKey(0), 3, cfg)
+    state, metrics = train_step(state, jnp.float32(0.5))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert int(state.total_steps) == 1
+
+
+def test_ema_and_rotation(small_tree):
+    cfg = small_cfg(gamma_averaging=0.5)
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16))
+    train_step, _, _, _ = rnad_lib.make_rnad_fns(net, small_tree, cfg)
+    state0 = rnad_lib.init_train_state(net, jax.random.PRNGKey(0), 3, cfg)
+    state1, _ = train_step(state0, jnp.float32(0.0))
+
+    # EMA: target = g * learner + (1 - g) * old target
+    leaf = lambda vs: np.asarray(
+        vs["params"]["policy_fc1"]["kernel"])
+    expected = 0.5 * leaf(state1.variables) + 0.5 * leaf(state0.variables_target)
+    np.testing.assert_allclose(leaf(state1.variables_target), expected,
+                               atol=1e-6)
+
+    # rotation: reg_prev <- reg, reg <- target
+    rotated = rnad_lib.rotate_regularization_nets(state1)
+    np.testing.assert_array_equal(leaf(rotated.variables_reg_),
+                                  leaf(state1.variables_reg))
+    np.testing.assert_array_equal(leaf(rotated.variables_reg),
+                                  leaf(state1.variables_target))
+
+
+def test_checkpoint_resume_exact(tmp_path, small_tree):
+    cfg = small_cfg()
+    ncfg = NetConfig(type="MLP", max_actions=3, width=16)
+    t1 = rnad_lib.RNaD(small_tree, cfg, ncfg, directory_name="run",
+                       runs_root=str(tmp_path), seed=0)
+    t1.run(checkpoint_mod=2, expl_mod=10, log_mod=100)
+    steps_done = int(t1.state.total_steps)
+    assert steps_done == 2 * 4  # bounds=(2,) x delta_m=(4,)
+
+    # resume: a fresh object must pick up the latest checkpoint
+    t2 = rnad_lib.RNaD(small_tree, cfg, ncfg, directory_name="run",
+                       runs_root=str(tmp_path), seed=0)
+    t2.initialize()
+    assert (t2.m, t2.n) == t1.store.latest()
+    chk = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        t2.state.variables, t1.store.load_checkpoint(
+            *t1.store.latest(), t1.state).variables)
+    assert jax.tree.all(chk)
+
+
+def test_tree_hash_guard(tmp_path, small_tree, tiny_tree):
+    cfg = small_cfg()
+    ncfg = NetConfig(type="MLP", max_actions=3, width=16)
+    t1 = rnad_lib.RNaD(small_tree, cfg, ncfg, directory_name="guard",
+                       runs_root=str(tmp_path), seed=0)
+    t1.initialize()
+    t1.n = 1
+    t1.save_checkpoint()
+
+    # same directory, different tree -> must refuse to resume
+    t_other = rnad_lib.RNaD(
+        jax.tree.map(lambda x: x, small_tree).replace(hash=123456),
+        cfg, ncfg, directory_name="guard", runs_root=str(tmp_path), seed=0)
+    with pytest.raises(AssertionError):
+        t_other.initialize()
+
+
+def test_same_init_net_as(tmp_path, small_tree):
+    cfg = small_cfg()
+    ncfg = NetConfig(type="MLP", max_actions=3, width=16)
+    t1 = rnad_lib.RNaD(small_tree, cfg, ncfg, directory_name="base",
+                       runs_root=str(tmp_path), seed=0)
+    t1.initialize()
+    t2 = rnad_lib.RNaD(small_tree, cfg, ncfg, directory_name="other",
+                       runs_root=str(tmp_path), seed=99,
+                       use_same_init_net_as="base")
+    t2.initialize()
+    chk = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        t1.state.variables, t2.state.variables)
+    assert jax.tree.all(chk)
+
+
+def test_buffered_offpolicy_path(small_tree):
+    cfg = small_cfg(n_batches_per_buffer=2, buffer_mod=1, batch_size=32)
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16))
+    _, rollout_jit, learn_jit, _ = rnad_lib.make_rnad_fns(net, small_tree,
+                                                          cfg)
+    from rnad_tpu.learn.buffer import TrajectoryBuffer
+
+    state = rnad_lib.init_train_state(net, jax.random.PRNGKey(0), 3, cfg)
+    buf = TrajectoryBuffer(2)
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        state, traj = rollout_jit(state)
+        buf.append(traj)
+        sample = buf.sample(32, rng)
+        assert sample.batch_size == 32
+        state, metrics = learn_jit(state, sample, jnp.float32(0.5))
+        assert np.isfinite(float(metrics["loss"]))
+    assert len(buf) == 2  # deque respects max size
+
+
+def test_alpha_schedule():
+    assert rnad_lib.alpha_schedule(0, 100) == 0.0
+    assert rnad_lib.alpha_schedule(25, 100) == 0.5
+    assert rnad_lib.alpha_schedule(51, 100) == 1.0
+    assert rnad_lib.alpha_schedule(99, 100) == 1.0
+
+
+def test_convnet_train_step(small_tree):
+    """ConvNet with BatchNorm: mutable batch_stats must flow through the
+    fused step and the EMA."""
+    cfg = small_cfg(batch_size=32)
+    net = nets.build_net(NetConfig(type="ConvNet", max_actions=3, channels=4,
+                                   depth=1, batch_norm=True))
+    train_step, _, _, _ = rnad_lib.make_rnad_fns(net, small_tree, cfg)
+    state = rnad_lib.init_train_state(net, jax.random.PRNGKey(0), 3, cfg)
+    assert "batch_stats" in state.variables
+    before = np.asarray(
+        state.variables["batch_stats"]["block0"]["bn0"]["mean"]).copy()
+    state, metrics = train_step(state, jnp.float32(0.5))
+    assert np.isfinite(float(metrics["loss"]))
+    after = np.asarray(state.variables["batch_stats"]["block0"]["bn0"]["mean"])
+    assert not np.array_equal(before, after)

@@ -1,0 +1,150 @@
+"""Golden parity of the learning math against the reference torch
+implementation (loaded read-only from /root/reference).
+
+One sign error in the reward transform or carry handling silently destroys
+convergence (SURVEY.md §7 hard part 3), so every function is checked
+numerically — including gradients through the NeuRD logit gate.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rnad_tpu.learn import vtrace as jv
+
+REF = "/root/reference"
+torch = pytest.importorskip("torch")
+if not os.path.isdir(REF):  # pragma: no cover
+    pytest.skip("reference unavailable", allow_module_level=True)
+sys.path.insert(0, REF)
+import learn.vtrace as tv  # noqa: E402  (reference torch implementation)
+
+
+def make_batch(seed, T=9, B=7, A=3):
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(1, T + 1, B)
+    valid = (np.arange(T)[:, None] < lengths[None, :]).astype(np.float32)
+    player_id = np.tile((np.arange(T) % 2)[:, None], (1, B)).astype(np.int64)
+    legal = (rng.random((T, B, A)) < 0.7)
+    legal[..., 0] |= ~legal.any(-1)
+    legal = legal.astype(np.float32)
+
+    def rand_policy():
+        p = rng.random((T, B, A)).astype(np.float32) * legal + 1e-3 * legal
+        return p / p.sum(-1, keepdims=True)
+
+    mu = rand_policy()
+    pi = rand_policy()
+    cum = np.cumsum(mu, axis=-1)
+    u = rng.random((T, B, 1)).astype(np.float32) * cum[..., -1:]
+    a = (u > cum).sum(-1)
+    actions_oh = np.eye(A, dtype=np.float32)[a]
+    reward = (rng.normal(size=(T, B)).astype(np.float32)
+              * valid * (player_id == 1))
+    v = rng.normal(size=(T, B, 1)).astype(np.float32)
+    log_pi_reg = rng.normal(size=(T, B, A)).astype(np.float32) * legal
+    return dict(valid=valid, player_id=player_id, legal=legal, mu=mu, pi=pi,
+                actions_oh=actions_oh, reward=reward, v=v,
+                log_pi_reg=log_pi_reg)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("player", [0, 1])
+@pytest.mark.parametrize("eta", [0.0, 0.2, 1.0])
+def test_v_trace_parity(seed, player, eta):
+    d = make_batch(seed)
+    tt = {k: torch.tensor(v) for k, v in d.items()}
+    c, rho, gamma, lam = 1.0, 1.0, 1.0, 1.0
+
+    ref_vt, ref_hp, ref_lo = tv.v_trace(
+        tt["v"], torch.tensor(d["valid"]), tt["player_id"], tt["mu"],
+        tt["pi"], tt["log_pi_reg"],
+        tv._player_others(tt["player_id"], torch.tensor(d["valid"]), player),
+        tt["actions_oh"], tt["reward"], player,
+        eta=eta, lambda_=lam, c=c, rho=rho, gamma=gamma)
+
+    out_vt, out_hp, out_lo = jv.v_trace(
+        jnp.asarray(d["v"]), jnp.asarray(d["valid"]),
+        jnp.asarray(d["player_id"]), jnp.asarray(d["mu"]),
+        jnp.asarray(d["pi"]), jnp.asarray(d["log_pi_reg"]),
+        jv.player_others(jnp.asarray(d["player_id"]),
+                         jnp.asarray(d["valid"]), player),
+        jnp.asarray(d["actions_oh"]), jnp.asarray(d["reward"]), player,
+        eta=eta, lambda_=lam, c=c, rho=rho, gamma=gamma)
+
+    np.testing.assert_allclose(np.asarray(out_vt), ref_vt.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_hp),
+                               ref_hp.numpy().astype(np.float32), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_lo), ref_lo.numpy(), atol=2e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_process_policy_parity(seed):
+    d = make_batch(seed)
+    ref = tv.process_policy(torch.tensor(d["pi"]), torch.tensor(d["legal"]),
+                            32, 0.03)
+    out = jv.process_policy(jnp.asarray(d["pi"]), jnp.asarray(d["legal"]),
+                            32, 0.03)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-6)
+
+
+def test_loss_v_parity_and_grad():
+    d = make_batch(4)
+    v_t = torch.tensor(d["v"], requires_grad=True)
+    tgt = torch.tensor(np.random.default_rng(5).normal(
+        size=d["v"].shape).astype(np.float32))
+    mask = torch.tensor(d["valid"] * (d["player_id"] == 0))
+    ref = tv.get_loss_v([v_t], [tgt], [mask])
+    ref.backward()
+
+    def jloss(v):
+        return jv.get_loss_v([v], [jnp.asarray(tgt.numpy())],
+                             [jnp.asarray(mask.numpy())])
+
+    val, grad = jax.value_and_grad(jloss)(jnp.asarray(d["v"]))
+    np.testing.assert_allclose(float(val), float(ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(grad), v_t.grad.numpy(), atol=1e-6)
+
+
+def test_loss_nerd_parity_and_grad():
+    d = make_batch(6)
+    rng = np.random.default_rng(7)
+    logits_np = rng.normal(size=d["pi"].shape).astype(np.float32)
+    q_vr = [rng.normal(size=d["pi"].shape).astype(np.float32)
+            for _ in range(2)]
+    is_c = np.ones_like(d["valid"])[..., None]
+
+    lt = torch.tensor(logits_np, requires_grad=True)
+    ref = tv.get_loss_nerd(
+        [lt, lt], [torch.tensor(d["pi"])] * 2,
+        [torch.tensor(q) for q in q_vr], torch.tensor(d["valid"]),
+        torch.tensor(d["player_id"]), torch.tensor(d["legal"]),
+        [torch.tensor(is_c)] * 2, clip=100.0, threshold=2.0)
+    ref.backward()
+
+    def jloss(logits):
+        return jv.get_loss_nerd(
+            [logits, logits], [jnp.asarray(d["pi"])] * 2,
+            [jnp.asarray(q) for q in q_vr], jnp.asarray(d["valid"]),
+            jnp.asarray(d["player_id"]), jnp.asarray(d["legal"]),
+            [jnp.asarray(is_c)] * 2, clip=100.0, threshold=2.0)
+
+    val, grad = jax.value_and_grad(jloss)(jnp.asarray(logits_np))
+    np.testing.assert_allclose(float(val), float(ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(grad), lt.grad.numpy(), atol=1e-6)
+
+
+def test_has_played_parity():
+    d = make_batch(8)
+    for player in (0, 1):
+        ref = tv._has_played(torch.tensor(d["valid"]),
+                             torch.tensor(d["player_id"]), player)
+        out = jv.has_played(jnp.asarray(d["valid"]),
+                            jnp.asarray(d["player_id"]), player)
+        np.testing.assert_allclose(np.asarray(out),
+                                   ref.numpy().astype(np.float32), atol=0)
