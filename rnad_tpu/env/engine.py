@@ -6,12 +6,19 @@ turns.  The absorbing-state convention (terminated lanes self-loop at index 0
 with reward 0, reference tree.py:29-32) means no masking or compaction is
 needed mid-rollout; validity is recovered afterwards as ``indices != 0``.
 
-The emitted ``Trajectory`` is time-major with the reference's exact half-step
-record layout (episode.py:218-227): per half-step state index, mover id,
-observation, behavior policy mu, one-hot action, reward, value estimate and
-legal-action mask — two half-steps (row then column mover) per tree level.
-The scan emits both half-step records per turn from a single (2B)-batched
-net forward (see ops/stepping.observe).
+TPU-native trajectory layout: the reference stores per-half-step
+observations, one-hot actions, mover ids and legal masks
+(episode.py:218-227).  All of those are pure functions of the state index
+and the half-step parity, so the ``Trajectory`` stores only the irreducible
+data — state indices, the mover's behavior policy, sampled action ids,
+rewards and value estimates — and everything else is re-derived on demand
+(``trajectory_observations``, ``Trajectory.turns``, ``.actions_oh``).  This
+cuts rollout HBM writes by an order of magnitude and keeps every stored
+array in a TPU-friendly shape.
+
+Each scan turn runs ONE (2B)-batched net forward for both seats (both
+observations depend only on the state index, see ops/stepping.py) and one
+wide row-gather of the packed state table.
 """
 
 from __future__ import annotations
@@ -30,16 +37,18 @@ from .tree import GameTree
 
 @struct.dataclass
 class Trajectory:
-    """Time-major batch of rollout trajectories; T = 2 * tree.max_depth."""
+    """Time-major batch of rollout trajectories; T = 2 * tree.max_depth.
+
+    Half-step t has mover t % 2 (0 = row, 1 = col); both half-steps of a
+    turn share the state index.  Rewards are from the row player's
+    perspective and nonzero only on col half-steps that enter the absorbing
+    state."""
 
     indices: jax.Array  # (T, B) int32 — state id at each half-step
-    turns: jax.Array  # (T, B) int32 — mover: 0 row, 1 col
-    observations: jax.Array  # (T, B, 2, A, A) f32
-    policy: jax.Array  # (T, B, A) f32 — behavior policy mu
-    actions_oh: jax.Array  # (T, B, A) f32 — one-hot sampled actions
+    policy: jax.Array  # (T, B, A) f32 — mover's behavior policy mu
+    actions: jax.Array  # (T, B) int32 — sampled action ids
     rewards: jax.Array  # (T, B) f32 — row-player reward (zero-sum)
-    values: jax.Array  # (T, B) f32 — actor value estimates
-    masks: jax.Array  # (T, B, A) f32 — mover's legal actions
+    values: jax.Array  # (T, B) f32 — actor value estimates (mover's POV)
 
     @property
     def num_half_steps(self) -> int:
@@ -49,66 +58,93 @@ class Trajectory:
     def batch_size(self) -> int:
         return self.indices.shape[1]
 
+    @property
+    def turns(self) -> jax.Array:
+        """(T, B) mover ids — derived from half-step parity (the engine
+        alternates strictly, reference episode.py:96-104)."""
+        T, B = self.indices.shape
+        t = (jnp.arange(T, dtype=jnp.int32) % 2)[:, None]
+        return jnp.broadcast_to(t, (T, B))
+
+    def actions_oh(self) -> jax.Array:
+        return jax.nn.one_hot(self.actions, self.policy.shape[-1],
+                              dtype=self.policy.dtype)
+
     def valid(self) -> jax.Array:
         """(T, B) 1.0 where the half-step belongs to a live episode."""
         return (self.indices != 0).astype(jnp.float32)
+
+
+def trajectory_observations(packed: stepping.PackedTables, traj: Trajectory
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """Re-derives per-half-step observations and mover legal masks.
+
+    Returns (observations (T, B, 2, A, A), masks (T, B, A)).  One wide
+    gather over T*B rows; the seat alternation is a static even/odd select.
+    """
+    T, B = traj.indices.shape
+    A = packed.max_actions
+    rows = stepping.lookup(packed, traj.indices.reshape(-1))
+    row_obs, col_obs = stepping.slice_observations(packed, rows)
+    row_mask, col_mask = stepping.slice_action_masks(packed, rows)
+    seat = (jnp.arange(T, dtype=jnp.int32) % 2).astype(bool)
+    seat_obs = seat[:, None, None, None, None]
+    obs = jnp.where(seat_obs, col_obs.reshape(T, B, 2, A, A),
+                    row_obs.reshape(T, B, 2, A, A))
+    masks = jnp.where(seat[:, None, None], col_mask.reshape(T, B, A),
+                      row_mask.reshape(T, B, A))
+    return obs, masks
 
 
 # Actor signature: variables, obs (N, 2, A, A) -> (logits (N, A), value (N,))
 ActorFn = Callable[[dict, jax.Array], Tuple[jax.Array, jax.Array]]
 
 
-def _stack_halves(row: jax.Array, col: jax.Array) -> jax.Array:
-    return jnp.stack([row, col], axis=0)
-
-
 def rollout(tree: GameTree, actor_fn: ActorFn, variables, key: jax.Array,
-            batch_size: int, num_turns: int | None = None) -> Trajectory:
-    """Plays ``batch_size`` episodes to completion under the actor policy.
-
-    Pure function of (tree, variables, key); jit/shard-map friendly.  One
-    scan iteration = one full turn = two emitted half-step records.
-    """
+            batch_size: int, num_turns: int | None = None,
+            packed: stepping.PackedTables | None = None) -> Trajectory:
+    """Plays ``batch_size`` episodes to completion under the actor policy."""
     init = jnp.ones((batch_size,), jnp.int32)
-    return rollout_from(tree, actor_fn, variables, key, init, num_turns)
+    return rollout_from(tree, actor_fn, variables, key, init, num_turns,
+                        packed)
 
 
 def rollout_from(tree: GameTree, actor_fn: ActorFn, variables,
                  key: jax.Array, init_indices: jax.Array,
-                 num_turns: int | None = None) -> Trajectory:
+                 num_turns: int | None = None,
+                 packed: stepping.PackedTables | None = None) -> Trajectory:
     """Rollout starting from an explicit per-lane state vector.
 
     Passing the initial indices lets callers attach a sharding constraint to
     the lane axis so GSPMD shards the entire rollout over a device mesh.
+    Pure function of (tree/packed, variables, key); one scan iteration = one
+    full turn = two emitted half-step records.
     """
     if num_turns is None:
         num_turns = tree.max_depth
-    tables = stepping.make_step_tables(tree)
+    if packed is None:
+        packed = stepping.make_packed_tables(tree)
     B = init_indices.shape[0]
+    A = packed.max_actions
 
     def turn_fn(indices, key_t):
         k_act, k_ch = jax.random.split(key_t)
-        row_obs, col_obs = stepping.observe(tree, indices)
+        rows = stepping.lookup(packed, indices)
+        row_obs, col_obs = stepping.slice_observations(packed, rows)
         obs2 = jnp.concatenate([row_obs, col_obs], axis=0)  # (2B, 2, A, A)
         logits, value = actor_fn(variables, obs2)
-        legal = obs2[:, 1, :, 0]
+        row_mask, col_mask = stepping.slice_action_masks(packed, rows)
+        legal = jnp.concatenate([row_mask, col_mask], axis=0)  # (2B, A)
         policy = common.masked_policy(logits, legal)
         actions = common.sample_actions(k_act, logits, legal)  # (2B,)
-        row_actions, col_actions = actions[:B], actions[B:]
-        new_indices, rewards = stepping.transition(
-            tables, indices, row_actions, col_actions, k_ch)
-        A = tree.max_actions
-        actions_oh = jax.nn.one_hot(actions, A, dtype=policy.dtype)
+        new_indices, rewards = stepping.select_transition(
+            packed, rows, actions[:B], actions[B:], k_ch)
         record = Trajectory(
-            indices=_stack_halves(indices, indices),
-            turns=_stack_halves(jnp.zeros((B,), jnp.int32),
-                                jnp.ones((B,), jnp.int32)),
-            observations=_stack_halves(row_obs, col_obs),
+            indices=jnp.stack([indices, indices]),
             policy=policy.reshape(2, B, A),
-            actions_oh=actions_oh.reshape(2, B, A),
-            rewards=_stack_halves(jnp.zeros((B,), rewards.dtype), rewards),
+            actions=actions.reshape(2, B).astype(jnp.int32),
+            rewards=jnp.stack([jnp.zeros((B,), rewards.dtype), rewards]),
             values=value.reshape(2, B),
-            masks=legal.reshape(2, B, A),
         )
         return new_indices, record
 
@@ -122,8 +158,11 @@ def rollout_from(tree: GameTree, actor_fn: ActorFn, variables,
 def rollout_tabular(tree: GameTree, joint_policy: jax.Array, key: jax.Array,
                     batch_size: int, num_turns: int | None = None
                     ) -> Trajectory:
-    """Rollout under a tabular per-node joint policy (S, 2A); value estimates
-    are the stored exact node values."""
+    """Rollout under a tabular per-node joint policy (S, 2A).
+
+    Used by tests and oracles: rolling out the generator's stored exact
+    solution must yield expected payoff equal to the stored root value
+    (SURVEY.md §4).  Value estimates are the stored exact node values."""
     if num_turns is None:
         num_turns = tree.max_depth
     tables = stepping.make_step_tables(tree)
@@ -132,10 +171,9 @@ def rollout_tabular(tree: GameTree, joint_policy: jax.Array, key: jax.Array,
 
     def turn_fn(indices, key_t):
         k_row, k_col, k_ch = jax.random.split(key_t, 3)
-        row_obs, col_obs = stepping.observe(tree, indices)
+        legal_row = tree.legal[indices, 0, :, 0]
+        legal_col = tree.legal[indices, 0, 0, :]
         pi = joint_policy[indices]  # (B, 2A)
-        legal_row = row_obs[:, 1, :, 0]
-        legal_col = col_obs[:, 1, :, 0]
         pi_row = jnp.where(legal_row > 0, pi[:, :A], 0.0)
         pi_col = jnp.where(legal_col > 0, pi[:, A:], 0.0)
         logp = lambda p: jnp.where(p > 0, jnp.log(jnp.maximum(p, 1e-30)),
@@ -145,20 +183,13 @@ def rollout_tabular(tree: GameTree, joint_policy: jax.Array, key: jax.Array,
         new_indices, rewards = stepping.transition(
             tables, indices, row_actions, col_actions, k_ch)
         value = tree.root_value[indices, 0]
+        norm = lambda p: p / jnp.maximum(p.sum(-1, keepdims=True), 1e-30)
         record = Trajectory(
-            indices=_stack_halves(indices, indices),
-            turns=_stack_halves(jnp.zeros((B,), jnp.int32),
-                                jnp.ones((B,), jnp.int32)),
-            observations=_stack_halves(row_obs, col_obs),
-            policy=_stack_halves(
-                pi_row / jnp.maximum(pi_row.sum(-1, keepdims=True), 1e-30),
-                pi_col / jnp.maximum(pi_col.sum(-1, keepdims=True), 1e-30)),
-            actions_oh=_stack_halves(
-                jax.nn.one_hot(row_actions, A),
-                jax.nn.one_hot(col_actions, A)),
-            rewards=_stack_halves(jnp.zeros((B,), rewards.dtype), rewards),
-            values=_stack_halves(value, -value),
-            masks=_stack_halves(legal_row, legal_col),
+            indices=jnp.stack([indices, indices]),
+            policy=jnp.stack([norm(pi_row), norm(pi_col)]),
+            actions=jnp.stack([row_actions, col_actions]).astype(jnp.int32),
+            rewards=jnp.stack([jnp.zeros((B,), rewards.dtype), rewards]),
+            values=jnp.stack([value, -value]),
         )
         return new_indices, record
 

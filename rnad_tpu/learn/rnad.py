@@ -34,6 +34,7 @@ from ..env import engine
 from ..env.tree import GameTree
 from ..metrics import nashconv as nashconv_lib
 from ..models import common, nets
+from ..ops import stepping
 from . import vtrace
 from .buffer import TrajectoryBuffer
 
@@ -79,32 +80,35 @@ def init_train_state(net, key: jax.Array, max_actions: int,
     )
 
 
-def _forward_trajectory(net, variables, traj: engine.Trajectory, train: bool):
+def _forward_trajectory(net, variables, observations, train: bool):
     """Whole-trajectory inference as one batched forward (no time loop —
     contrast reference nn/net.py:64-85)."""
-    T, B = traj.rewards.shape
-    obs = traj.observations.reshape((T * B,) + traj.observations.shape[2:])
+    T, B = observations.shape[:2]
+    obs = observations.reshape((T * B,) + observations.shape[2:])
     if train:
         (logits, v), mutated = nets.apply_train(net, variables, obs)
     else:
         logits, v = nets.apply_eval(net, variables, obs)
         mutated = {}
-    A = traj.policy.shape[-1]
-    return logits.reshape(T, B, A), v.reshape(T, B), mutated
+    return logits.reshape(T, B, -1), v.reshape(T, B), mutated
 
 
 def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
-               reg_prev_vars, traj: engine.Trajectory, alpha: jax.Array,
-               cfg: RNaDConfig):
+               reg_prev_vars, packed, traj: engine.Trajectory,
+               alpha: jax.Array, cfg: RNaDConfig):
     """Loss of one learner update (mirrors reference ``__learn``,
-    rnad.py:353-456).  Differentiated w.r.t. ``learner_params`` only."""
+    rnad.py:353-456).  Differentiated w.r.t. ``learner_params`` only.
+
+    Observations and legal masks are re-derived from the state indices via
+    the packed table (pure functions of the index; see env/engine.py)."""
     learner_vars = dict(aux_collections, params=learner_params)
     valid = traj.valid()
     player_id = traj.turns
-    masks = traj.masks
+    observations, masks = engine.trajectory_observations(packed, traj)
+    actions_oh = traj.actions_oh()
 
-    logits, v_raw, mutated = _forward_trajectory(net, learner_vars, traj,
-                                                 train=True)
+    logits, v_raw, mutated = _forward_trajectory(net, learner_vars,
+                                                 observations, train=True)
     v = v_raw[..., None]
     pi = common.masked_policy(logits, masks)
     log_pi = common.masked_log_policy(logits, masks)
@@ -114,13 +118,14 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
 
     # Frozen nets: EMA target for values, regularization pair for the
     # R-NaD transform (reference rnad.py:377-382).
-    logits_t, v_target_raw, _ = _forward_trajectory(net, target_vars, traj,
-                                                    train=False)
+    logits_t, v_target_raw, _ = _forward_trajectory(net, target_vars,
+                                                    observations, train=False)
     pi_target = common.masked_policy(logits_t, masks)
     v_target_net = jax.lax.stop_gradient(v_target_raw[..., None])
-    logits_r, _, _ = _forward_trajectory(net, reg_vars, traj, train=False)
+    logits_r, _, _ = _forward_trajectory(net, reg_vars, observations,
+                                         train=False)
     log_pi_reg = common.masked_log_policy(logits_r, masks)
-    logits_rp, _, _ = _forward_trajectory(net, reg_prev_vars, traj,
+    logits_rp, _, _ = _forward_trajectory(net, reg_prev_vars, observations,
                                           train=False)
     log_pi_reg_prev = common.masked_log_policy(logits_rp, masks)
 
@@ -136,7 +141,7 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
         v_t, played, pol_t = vtrace.v_trace(
             v_target_net, valid, player_id, traj.policy, pi_processed_sg,
             log_policy_reg, vtrace.player_others(player_id, valid, player),
-            traj.actions_oh, reward_p, player,
+            actions_oh, reward_p, player,
             eta=cfg.eta, lambda_=1.0, c=cfg.c_bar, rho=cfg.roh_bar,
             gamma=cfg.vtrace_gamma)
         v_target_list.append(jax.lax.stop_gradient(v_t))
@@ -182,17 +187,22 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
     """
     actor_fn = lambda variables, obs: nets.apply_eval(net, variables, obs)
     tx = make_optimizer(cfg)
+    packed_tables = stepping.make_packed_tables(tree)
 
-    def rollout_fn(state: TrainState) -> Tuple[TrainState, engine.Trajectory]:
+    # tree/packed are threaded as explicit jit arguments (not closure
+    # constants) so large game tables are runtime inputs, never baked into
+    # the compiled executable.
+    def rollout_fn(tree, packed, state: TrainState
+                   ) -> Tuple[TrainState, engine.Trajectory]:
         key, k_roll = jax.random.split(state.key)
         init = jnp.ones((cfg.batch_size,), jnp.int32)
         if constrain_batch is not None:
             init = constrain_batch(init)
         traj = engine.rollout_from(tree, actor_fn, state.variables, k_roll,
-                                   init, tree.max_depth)
+                                   init, tree.max_depth, packed)
         return state.replace(key=key), traj
 
-    def learn_fn(state: TrainState, traj: engine.Trajectory,
+    def learn_fn(packed, state: TrainState, traj: engine.Trajectory,
                  alpha: jax.Array) -> Tuple[TrainState, Dict]:
         aux_collections = {k: v for k, v in state.variables.items()
                            if k != "params"}
@@ -200,7 +210,7 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
         (loss, (mutated, metrics)), grads = grad_fn(
             state.variables["params"], aux_collections, net,
             state.variables_target, state.variables_reg,
-            state.variables_reg_, traj, alpha, cfg)
+            state.variables_reg_, packed, traj, alpha, cfg)
         metrics["gradient_norm"] = optax.global_norm(grads)
 
         updates, opt_state = tx.update(grads, state.opt_state,
@@ -224,13 +234,22 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
         return new_state, metrics
 
     @jax.jit
-    def train_step(state: TrainState, alpha: jax.Array):
+    def _train_step(tree, packed, state: TrainState, alpha: jax.Array):
         """Fused on-policy step: rollout + learn + optimize + EMA."""
-        state, traj = rollout_fn(state)
-        return learn_fn(state, traj, alpha)
+        state, traj = rollout_fn(tree, packed, state)
+        return learn_fn(packed, state, traj, alpha)
 
-    rollout_jit = jax.jit(rollout_fn)
-    learn_jit = jax.jit(learn_fn)
+    _rollout_jit = jax.jit(rollout_fn)
+    _learn_jit = jax.jit(learn_fn)
+
+    def train_step(state, alpha):
+        return _train_step(tree, packed_tables, state, alpha)
+
+    def rollout_jit(state):
+        return _rollout_jit(tree, packed_tables, state)
+
+    def learn_jit(state, traj, alpha):
+        return _learn_jit(packed_tables, state, traj, alpha)
 
     def nashconv_fn(variables) -> nashconv_lib.NashConvResult:
         joint = nashconv_lib.joint_policy_from_net(tree, actor_fn, variables)

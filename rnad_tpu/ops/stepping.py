@@ -1,15 +1,30 @@
 """Batched environment stepping primitives.
 
-The reference steps a batch of states with two ``torch.index_select`` gathers
-of full (B, T, A, A) blocks plus a per-lane ``torch.multinomial``
-(reference environment/episode.py:106-121).  On TPU that layout wastes HBM
-bandwidth: only one (row, col) cell of each gathered block is ever used.
+The reference steps a batch of states with ``torch.index_select`` gathers of
+full (B, T, A, A) blocks plus a per-lane ``torch.multinomial`` (reference
+environment/episode.py:106-121), and separately gathers observation blocks
+(episode.py:62-68).  On TPU, many narrow gathers from tiny tables are the
+bottleneck: each gathered row is a handful of floats against a 128-lane
+memory system.
 
-Here the three step tables are flattened once per rollout into
-``(S * A * A, T)`` row-major layout so that a full transition is exactly one
-row-gather per table — the minimal number of bytes the step can touch — and
-the chance draw is a Gumbel-max/categorical over the gathered log-chance row,
-fused by XLA into the same kernel.
+Here everything a turn needs is packed into ONE ``(S, D)`` float32 table —
+both seats' flattened observations plus, for every (row, col) action cell,
+the chance log-probabilities, child indices and child values:
+
+    row layout (AA = A*A, T = max_transitions):
+      [0    : 2AA)   row seat observation  [expected_value | legal]
+      [2AA  : 4AA)   col seat observation  [-expected_value^T | legal^T]
+      [4AA + n*3T : ...)  per cell n = r*A + c: [log_chance | child | value]
+
+so a full turn is exactly one wide row-gather per lane (~128+ lanes wide,
+the efficient shape for TPU HBM), the actions of both seats come from one
+(2B)-batched net forward, and the chance draw + transition are a tiny
+einsum-select over the already-gathered row.  Child indices ride in the f32
+table (exact for S < 2^24).
+
+Observations are NOT stored in trajectories: they are a pure function of the
+state index, so the learner re-derives them with one gather instead of the
+rollout writing (T, B, 2, A, A) tensors (see env/engine.py).
 """
 
 from __future__ import annotations
@@ -23,6 +38,125 @@ from flax import struct
 from ..env.tree import GameTree
 
 _NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@struct.dataclass
+class PackedTables:
+    """One-gather-per-turn state table (see module docstring)."""
+
+    rows: jax.Array  # (S, D_pad) float32
+    max_actions: int = struct.field(pytree_node=False)
+    max_transitions: int = struct.field(pytree_node=False)
+
+    @property
+    def obs_width(self) -> int:
+        return 2 * self.max_actions * self.max_actions
+
+    @property
+    def trans_offset(self) -> int:
+        return 2 * self.obs_width
+
+
+def make_packed_tables(tree: GameTree) -> PackedTables:
+    A, T = tree.max_actions, tree.max_transitions
+    S = tree.index.shape[0]
+    if S >= 1 << 24:
+        raise ValueError("packed tables require S < 2^24 (f32-exact indices)")
+    AA = A * A
+
+    ev = tree.expected_value[:, 0]  # (S, A, A)
+    lg = tree.legal[:, 0]
+    row_obs = jnp.concatenate([ev.reshape(S, AA), lg.reshape(S, AA)], -1)
+    col_obs = jnp.concatenate(
+        [(-ev).swapaxes(1, 2).reshape(S, AA),
+         lg.swapaxes(1, 2).reshape(S, AA)], -1)
+
+    chance = tree.chance.transpose(0, 2, 3, 1).reshape(S, AA, T)
+    log_chance = jnp.where(chance > 0,
+                           jnp.log(jnp.maximum(chance, 1e-30)), _NEG_INF)
+    child = tree.index.transpose(0, 2, 3, 1).reshape(S, AA, T)
+    value = tree.value.transpose(0, 2, 3, 1).reshape(S, AA, T)
+    trans = jnp.concatenate(
+        [log_chance, child.astype(jnp.float32), value], -1)  # (S, AA, 3T)
+
+    rows = jnp.concatenate([row_obs, col_obs, trans.reshape(S, AA * 3 * T)],
+                           -1)
+    D = rows.shape[-1]
+    D_pad = _round_up(D, 128)
+    if D_pad != D:
+        rows = jnp.pad(rows, ((0, 0), (0, D_pad - D)))
+    return PackedTables(rows=rows, max_actions=A, max_transitions=T)
+
+
+def lookup(packed: PackedTables, indices: jax.Array) -> jax.Array:
+    """(B,) state ids -> (B, D_pad) packed rows.  One wide gather."""
+    return packed.rows[indices]
+
+
+def slice_observations(packed: PackedTables, rows: jax.Array
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """Packed rows -> (row_obs, col_obs), each (B, 2, A, A).
+
+    Row player sees [expected_value, legal]; column player the negated,
+    transposed matrix (reference episode.py:62-68) — both precomputed in the
+    table, so this is a pure slice."""
+    A = packed.max_actions
+    W = packed.obs_width
+    B = rows.shape[0]
+    row_obs = rows[:, :W].reshape(B, 2, A, A)
+    col_obs = rows[:, W:2 * W].reshape(B, 2, A, A)
+    return row_obs, col_obs
+
+
+def slice_action_masks(packed: PackedTables, rows: jax.Array
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """Mover's legal-action vectors for both seats: (B, A) each.
+
+    The mover's mask is column 0 of their legal matrix (reference
+    episode.py:208: ``observations[:, 1, :, 0]``)."""
+    A = packed.max_actions
+    AA = A * A
+    W = packed.obs_width
+    row_mask = rows[:, AA:2 * AA:A]
+    col_mask = rows[:, W + AA:W + 2 * AA:A]
+    return row_mask, col_mask
+
+
+def select_transition(packed: PackedTables, rows: jax.Array,
+                      row_actions: jax.Array, col_actions: jax.Array,
+                      key: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Joint transition from already-gathered packed rows.
+
+    Selects the (row, col) cell's [log_chance | child | value] triple with a
+    one-hot einsum over the A*A cells (cheap VPU work — no second gather),
+    samples the chance action, and emits the reward only on transitions into
+    the absorbing state (reference episode.py:106-121).
+    """
+    A, T = packed.max_actions, packed.max_transitions
+    AA = A * A
+    B = rows.shape[0]
+    trans = rows[:, packed.trans_offset:packed.trans_offset + AA * 3 * T]
+    trans = trans.reshape(B, AA, 3 * T)
+    cell_oh = jax.nn.one_hot(row_actions * A + col_actions, AA,
+                             dtype=rows.dtype)
+    sel = jnp.einsum("bn,bnk->bk", cell_oh, trans)  # (B, 3T)
+    log_chance = sel[:, :T]
+    chance_actions = jax.random.categorical(key, log_chance, axis=-1)
+    pick = lambda block: jnp.take_along_axis(
+        block, chance_actions[:, None], axis=-1)[:, 0]
+    new_indices = pick(sel[:, T:2 * T]).astype(jnp.int32)
+    rewards = pick(sel[:, 2 * T:3 * T]) * (new_indices == 0)
+    return new_indices, rewards
+
+
+# ---------------------------------------------------------------------------
+# Legacy narrow-table API (kept for the tabular rollout and as the reference
+# semantics in tests; the packed path above is the production fast path).
+# ---------------------------------------------------------------------------
 
 
 @struct.dataclass
@@ -48,15 +182,7 @@ def make_step_tables(tree: GameTree) -> StepTables:
 def transition(tables: StepTables, indices: jax.Array, row_actions: jax.Array,
                col_actions: jax.Array, key: jax.Array
                ) -> Tuple[jax.Array, jax.Array]:
-    """One full joint transition for a batch of lanes.
-
-    Fuses the reference's row/col half-step bookkeeping into a single gather
-    + chance draw (reference episode.py:106-121).  Rewards are emitted only
-    on transitions into the absorbing state (episode.py:121); lanes already
-    absorbed self-loop at index 0 with reward 0.
-
-    Returns (new_indices (B,), rewards (B,)).
-    """
+    """One full joint transition for a batch of lanes (narrow-gather path)."""
     A = tables.max_actions
     cell = (indices * A + row_actions) * A + col_actions  # (B,)
     logc = tables.log_chance[cell]  # (B, T)
@@ -70,14 +196,7 @@ def transition(tables: StepTables, indices: jax.Array, row_actions: jax.Array,
 
 def observe(tree: GameTree, indices: jax.Array
             ) -> Tuple[jax.Array, jax.Array]:
-    """Observations for both seats of a batch of states.
-
-    Row player sees [expected_value, legal]; column player sees the negated,
-    transposed matrix (reference episode.py:62-68).  Both are available
-    simultaneously because observations depend only on the state index — this
-    is what lets the rollout run one (2B)-batched net forward per full turn
-    instead of two B-batched forwards.
-    """
+    """Observations for both seats of a batch of states (narrow path)."""
     ev = tree.expected_value[indices]  # (B, 1, A, A)
     lg = tree.legal[indices]
     row_obs = jnp.concatenate([ev, lg], axis=1)

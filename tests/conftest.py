@@ -7,11 +7,19 @@ before jax initializes its backends.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the sandbox presets "axon"
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Some sandboxes pre-import jax with a TPU plugin at interpreter boot
+# (sitecustomize), which ignores the env vars above; override the platform
+# selection through the config API before any backend is initialized.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

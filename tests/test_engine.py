@@ -22,6 +22,8 @@ def test_solution_rollout_matches_root_value(small_tree):
 
 
 def test_trajectory_structure(small_tree):
+    from rnad_tpu.ops import stepping
+
     t = small_tree
     net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=32))
     variables = nets.init_variables(net, jax.random.PRNGKey(1), 3)
@@ -47,15 +49,29 @@ def test_trajectory_structure(small_tree):
     valid = np.asarray(traj.valid())
     assert (np.diff(valid, axis=0) <= 1e-6).all()
 
+    # re-derived observations and masks match the tree tensors
+    packed = stepping.make_packed_tables(t)
+    obs, masks_j = engine.trajectory_observations(packed, traj)
+    obs, masks = np.asarray(obs), np.asarray(masks_j)
+    ev = np.asarray(t.expected_value)
+    lg = np.asarray(t.legal)
+    # even half-steps: row seat sees [expected_value, legal]
+    np.testing.assert_allclose(obs[0, :, 0], ev[indices[0], 0], atol=0)
+    np.testing.assert_allclose(obs[0, :, 1], lg[indices[0], 0], atol=0)
+    # odd half-steps: col seat sees the negated transpose
+    np.testing.assert_allclose(obs[1, :, 0],
+                               -ev[indices[1], 0].transpose(0, 2, 1), atol=0)
+    np.testing.assert_allclose(masks[0], lg[indices[0], 0, :, 0], atol=0)
+    np.testing.assert_allclose(masks[1], lg[indices[1], 0, 0, :], atol=0)
+
     # behavior policy is a distribution over legal actions on valid steps
     pol = np.asarray(traj.policy)
-    masks = np.asarray(traj.masks)
     v = valid > 0
     assert np.abs(pol.sum(-1)[v] - 1).max() < 1e-5
     assert (pol[~(masks > 0)] == 0).all()
 
     # sampled actions are legal
-    acts = np.asarray(traj.actions_oh)
+    acts = np.asarray(traj.actions_oh())
     assert ((acts * masks).sum(-1)[v] == 1).all()
 
     # rewards appear exactly on transitions into the absorbing state:
@@ -75,7 +91,7 @@ def test_rollout_determinism(small_tree):
     t3 = f(jax.random.PRNGKey(6))
     assert jax.tree.all(jax.tree.map(
         lambda a, b: bool((a == b).all()), t1, t2))
-    assert not bool((t1.actions_oh == t3.actions_oh).all())
+    assert not bool((t1.actions == t3.actions).all())
 
 
 def test_observation_seats(small_tree):

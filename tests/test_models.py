@@ -84,16 +84,20 @@ def test_trajectory_inference_matches_per_step(small_tree):
     reference's Python time loop, net.py:64-85)."""
     from rnad_tpu.env import engine
     from rnad_tpu.learn.rnad import _forward_trajectory
+    from rnad_tpu.ops import stepping
 
     t = small_tree
     net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=32))
     variables = nets.init_variables(net, jax.random.PRNGKey(0), 3)
     actor = lambda vs, obs: nets.apply_eval(net, vs, obs)
     traj = engine.rollout(t, actor, variables, jax.random.PRNGKey(1), 32)
+    packed = stepping.make_packed_tables(t)
+    observations, _ = engine.trajectory_observations(packed, traj)
 
-    logits, v, _ = _forward_trajectory(net, variables, traj, train=False)
+    logits, v, _ = _forward_trajectory(net, variables, observations,
+                                       train=False)
     for step in (0, 3, traj.num_half_steps - 1):
-        l_s, v_s = nets.apply_eval(net, variables, traj.observations[step])
+        l_s, v_s = nets.apply_eval(net, variables, observations[step])
         np.testing.assert_allclose(np.asarray(logits[step]), np.asarray(l_s),
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(v[step]), np.asarray(v_s),
