@@ -14,13 +14,22 @@ the chance log-probabilities, child indices and child values:
     row layout (AA = A*A, T = max_transitions):
       [0    : 2AA)   row seat observation  [expected_value | legal]
       [2AA  : 4AA)   col seat observation  [-expected_value^T | legal^T]
-      [4AA + n*3T : ...)  per cell n = r*A + c: [log_chance | child | value]
+      [4AA : 4AA+A)  row seat legal-action mask
+      [4AA+A : 4AA+2A)  col seat legal-action mask
+      [4AA + 2A + n*3T : ...)  per cell n = r*A + c:
+                     [log_chance | child | value]
 
 so a full turn is exactly one wide row-gather per lane (~128+ lanes wide,
 the efficient shape for TPU HBM), the actions of both seats come from one
 (2B)-batched net forward, and the chance draw + transition are a tiny
-einsum-select over the already-gathered row.  Child indices ride in the f32
+select over the already-gathered row.  Child indices ride in the f32
 table (exact for S < 2^24).
+
+Crucial TPU layout rule applied throughout: every intermediate whose
+trailing dimension would be tiny (A, A*A or T — all far below the 128-lane
+tile) is kept in **batch-minor** form (leading small dim, trailing B), so
+nothing gets padded 16-40x to hardware tiles.  The cell/chance selects are
+one-hot reductions over (AA, B)/(T, B) arrays rather than gathers.
 
 Observations are NOT stored in trajectories: they are a pure function of the
 state index, so the learner re-derives them with one gather instead of the
@@ -57,8 +66,12 @@ class PackedTables:
         return 2 * self.max_actions * self.max_actions
 
     @property
-    def trans_offset(self) -> int:
+    def mask_offset(self) -> int:
         return 2 * self.obs_width
+
+    @property
+    def trans_offset(self) -> int:
+        return 2 * self.obs_width + 2 * self.max_actions
 
 
 def make_packed_tables(tree: GameTree) -> PackedTables:
@@ -75,6 +88,9 @@ def make_packed_tables(tree: GameTree) -> PackedTables:
         [(-ev).swapaxes(1, 2).reshape(S, AA),
          lg.swapaxes(1, 2).reshape(S, AA)], -1)
 
+    row_mask = lg[:, :, 0]  # (S, A): legal row actions
+    col_mask = lg[:, 0, :]  # (S, A): legal col actions
+
     chance = tree.chance.transpose(0, 2, 3, 1).reshape(S, AA, T)
     log_chance = jnp.where(chance > 0,
                            jnp.log(jnp.maximum(chance, 1e-30)), _NEG_INF)
@@ -83,8 +99,8 @@ def make_packed_tables(tree: GameTree) -> PackedTables:
     trans = jnp.concatenate(
         [log_chance, child.astype(jnp.float32), value], -1)  # (S, AA, 3T)
 
-    rows = jnp.concatenate([row_obs, col_obs, trans.reshape(S, AA * 3 * T)],
-                           -1)
+    rows = jnp.concatenate([row_obs, col_obs, row_mask, col_mask,
+                            trans.reshape(S, AA * 3 * T)], -1)
     D = rows.shape[-1]
     D_pad = _round_up(D, 128)
     if D_pad != D:
@@ -117,13 +133,17 @@ def slice_action_masks(packed: PackedTables, rows: jax.Array
     """Mover's legal-action vectors for both seats: (B, A) each.
 
     The mover's mask is column 0 of their legal matrix (reference
-    episode.py:208: ``observations[:, 1, :, 0]``)."""
+    episode.py:208: ``observations[:, 1, :, 0]``); both are precomputed as
+    dedicated table lanes."""
     A = packed.max_actions
-    AA = A * A
-    W = packed.obs_width
-    row_mask = rows[:, AA:2 * AA:A]
-    col_mask = rows[:, W + AA:W + 2 * AA:A]
-    return row_mask, col_mask
+    off = packed.mask_offset
+    return rows[:, off:off + A], rows[:, off + A:off + 2 * A]
+
+
+def _one_hot_minor(ids: jax.Array, n: int, dtype) -> jax.Array:
+    """(n, B) one-hot with the batch minor — tile-friendly on TPU."""
+    return (jnp.arange(n, dtype=ids.dtype)[:, None] == ids[None, :]
+            ).astype(dtype)
 
 
 def select_transition(packed: PackedTables, rows: jax.Array,
@@ -132,24 +152,23 @@ def select_transition(packed: PackedTables, rows: jax.Array,
     """Joint transition from already-gathered packed rows.
 
     Selects the (row, col) cell's [log_chance | child | value] triple with a
-    one-hot einsum over the A*A cells (cheap VPU work — no second gather),
-    samples the chance action, and emits the reward only on transitions into
-    the absorbing state (reference episode.py:106-121).
+    batch-minor one-hot reduction over the A*A cells (cheap VPU work — no
+    second gather and no tile-padded intermediates), samples the chance
+    action, and emits the reward only on transitions into the absorbing
+    state (reference episode.py:106-121).
     """
     A, T = packed.max_actions, packed.max_transitions
     AA = A * A
     B = rows.shape[0]
     trans = rows[:, packed.trans_offset:packed.trans_offset + AA * 3 * T]
-    trans = trans.reshape(B, AA, 3 * T)
-    cell_oh = jax.nn.one_hot(row_actions * A + col_actions, AA,
-                             dtype=rows.dtype)
-    sel = jnp.einsum("bn,bnk->bk", cell_oh, trans)  # (B, 3T)
-    log_chance = sel[:, :T]
-    chance_actions = jax.random.categorical(key, log_chance, axis=-1)
-    pick = lambda block: jnp.take_along_axis(
-        block, chance_actions[:, None], axis=-1)[:, 0]
-    new_indices = pick(sel[:, T:2 * T]).astype(jnp.int32)
-    rewards = pick(sel[:, 2 * T:3 * T]) * (new_indices == 0)
+    # (B, AA*3T) -> (AA, 3T, B): every small dim leads, B stays minor.
+    trans_t = trans.T.reshape(AA, 3 * T, B)
+    cell_oh = _one_hot_minor(row_actions * A + col_actions, AA, rows.dtype)
+    sel = jnp.einsum("nb,nkb->kb", cell_oh, trans_t)  # (3T, B)
+    chance_actions = jax.random.categorical(key, sel[:T], axis=0)  # (B,)
+    chance_oh = _one_hot_minor(chance_actions, T, rows.dtype)
+    new_indices = (chance_oh * sel[T:2 * T]).sum(0).astype(jnp.int32)
+    rewards = (chance_oh * sel[2 * T:3 * T]).sum(0) * (new_indices == 0)
     return new_indices, rewards
 
 
