@@ -50,13 +50,13 @@ def main():
     t0 = time.perf_counter()
     run(variables, key).block_until_ready()
     per_call = time.perf_counter() - t0
-    iters = max(3, int(3.0 / max(per_call, 1e-4)))
+    iters = max(5, int(3.0 / max(per_call, 1e-4)))
 
     keys = [jax.random.fold_in(key, i) for i in range(iters)]
+    # enqueue asynchronously; block once at the end (dispatch pipelines)
     t0 = time.perf_counter()
-    acc = 0.0
-    for k in keys:
-        acc += float(run(variables, k))
+    outs = [run(variables, k) for k in keys]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 
     half_steps = 2 * num_turns * batch * iters
