@@ -393,6 +393,9 @@ class RNaD:
         cfg = self.cfg
         on_policy = cfg.n_batches_per_buffer == 1 and cfg.buffer_mod == 1
         buffer = TrajectoryBuffer(cfg.n_batches_per_buffer)
+        import time as _time
+        last_log_time = _time.perf_counter()
+        last_log_steps = int(self.state.total_steps)
 
         for _ in range(max_updates):
             may_resume, delta_m = self._get_update_info()
@@ -424,7 +427,20 @@ class RNaD:
                         self.state, sample, jnp.float32(alpha))
 
                 if self.n % log_mod == 0:
-                    self.logger.log(metrics, int(self.state.total_steps))
+                    # blocking on the metrics here also attributes the wall
+                    # clock of the async step pipeline correctly
+                    total = int(self.state.total_steps)
+                    now = _time.perf_counter()
+                    dsteps = total - last_log_steps
+                    if dsteps > 0:
+                        sps = dsteps / max(now - last_log_time, 1e-9)
+                        metrics = dict(metrics)
+                        metrics["steps_per_s"] = sps
+                        metrics["env_steps_per_s"] = (
+                            sps * cfg.batch_size
+                            * 2 * self.tree.max_depth)
+                    last_log_time, last_log_steps = now, total
+                    self.logger.log(metrics, total)
                 self.n += 1
 
             self.n = 0
