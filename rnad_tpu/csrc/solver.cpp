@@ -74,43 +74,55 @@ int solve_one(const double* payoff, int rows, int cols, int ld_c,
   for (int j = 0; j < n; ++j) at(m, j) = -1.0;  // objective: max sum(w)
 
   int iters = 0;
+  std::vector<char> banned(n + m);
   for (;;) {
     if (++iters > kMaxIters) return 2;  // should be unreachable for small games
     const bool bland = iters > kBlandAfter;
 
-    // Entering column.
-    int enter = -1;
-    double best = -kEps;
-    for (int j = 0; j < n + m; ++j) {
-      const double rc = at(m, j);
-      if (rc < -kEps) {
-        if (bland) {
-          enter = j;
-          break;
-        }
-        if (rc < best) {
-          best = rc;
-          enter = j;
+    // Entering column + ratio test.  The LP is bounded (M' >= 1), so an
+    // entering column without positive entries can only be a numerical
+    // artifact on highly degenerate games (reduced cost ~ -eps); such
+    // columns are skipped rather than declared unbounded.
+    std::fill(banned.begin(), banned.end(), 0);
+    int enter = -1, leave = -1;
+    double best_ratio = 0.0;
+    for (;;) {
+      enter = -1;
+      double best = -kEps;
+      for (int j = 0; j < n + m; ++j) {
+        if (banned[j]) continue;
+        const double rc = at(m, j);
+        if (rc < -kEps) {
+          if (bland) {
+            enter = j;
+            break;
+          }
+          if (rc < best) {
+            best = rc;
+            enter = j;
+          }
         }
       }
+      if (enter < 0) break;  // optimal (no usable entering column)
+
+      // Ratio test (lowest basis index tie-break).
+      leave = -1;
+      best_ratio = 0.0;
+      for (int i = 0; i < m; ++i) {
+        const double a = at(i, enter);
+        if (a > kEps) {
+          const double ratio = at(i, n + m) / a;
+          if (leave < 0 || ratio < best_ratio - kEps ||
+              (ratio < best_ratio + kEps && basis[i] < basis[leave])) {
+            best_ratio = ratio;
+            leave = i;
+          }
+        }
+      }
+      if (leave >= 0) break;  // found a pivot
+      banned[enter] = 1;  // numerically unbounded column: skip it
     }
     if (enter < 0) break;  // optimal
-
-    // Ratio test (lowest basis index tie-break).
-    int leave = -1;
-    double best_ratio = 0.0;
-    for (int i = 0; i < m; ++i) {
-      const double a = at(i, enter);
-      if (a > kEps) {
-        const double ratio = at(i, n + m) / a;
-        if (leave < 0 || ratio < best_ratio - kEps ||
-            (ratio < best_ratio + kEps && basis[i] < basis[leave])) {
-          best_ratio = ratio;
-          leave = i;
-        }
-      }
-    }
-    if (leave < 0) return 3;  // unbounded: impossible since M' >= 1
 
     // Pivot.
     const double piv = at(leave, enter);

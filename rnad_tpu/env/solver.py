@@ -43,24 +43,30 @@ def _solve_one_numpy(payoff: np.ndarray, rows: int, cols: int):
         iters += 1
         if iters > _MAX_ITERS:
             raise RuntimeError("simplex iteration limit")
-        obj = T[m, : n + m]
-        if iters > _BLAND_AFTER:
+        obj = T[m, : n + m].copy()
+        bland = iters > _BLAND_AFTER
+        # Entering column + ratio test; numerically "unbounded" columns
+        # (possible only through degeneracy, since the shifted game is
+        # bounded) are skipped, mirroring csrc/solver.cpp.
+        enter = leave = -1
+        while True:
             cand = np.nonzero(obj < -_EPS)[0]
             if cand.size == 0:
+                enter = -1
                 break
-            enter = int(cand[0])
-        else:
-            enter = int(np.argmin(obj))
-            if obj[enter] >= -_EPS:
+            enter = int(cand[0] if bland else cand[np.argmin(obj[cand])])
+            col = T[:m, enter]
+            pos = col > _EPS
+            if pos.any():
+                ratios = np.where(pos, T[:m, -1] / np.where(pos, col, 1.0),
+                                  np.inf)
+                best = ratios.min()
+                ties = np.nonzero(ratios < best + _EPS)[0]
+                leave = int(min(ties, key=lambda i: basis[i]))
                 break
-        col = T[:m, enter]
-        pos = col > _EPS
-        if not pos.any():
-            raise RuntimeError("unbounded LP (impossible for shifted game)")
-        ratios = np.where(pos, T[:m, -1] / np.where(pos, col, 1.0), np.inf)
-        best = ratios.min()
-        ties = np.nonzero(ratios < best + _EPS)[0]
-        leave = int(min(ties, key=lambda i: basis[i]))
+            obj[enter] = 0.0  # ban this column
+        if enter < 0:
+            break  # optimal
         piv = T[leave, enter]
         T[leave] /= piv
         for i in range(m + 1):

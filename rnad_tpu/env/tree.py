@@ -228,6 +228,52 @@ def generate_tree(config: TreeConfig, seed: int = 0,
     )
 
 
+def generate_tree_native(config: TreeConfig, seed: int = 0,
+                         max_nodes: int = 1 << 24) -> GameTree:
+    """Generates a tree with the native C++ level-synchronous generator
+    (csrc/treegen.cpp) — same game semantics and tensor conventions as
+    :func:`generate_tree`, ~10x faster for large trees.
+
+    The C++ generator uses its own RNG stream, so for a given seed it
+    produces a *different* (but deterministic) tree than the numpy path;
+    trees are identified by their content hash either way.
+    """
+    from .. import native
+
+    rules = tuple(
+        (r.delta, r.stochastic_delta, r.stochastic_prob)
+        for r in (config.row_actions_rule, config.col_actions_rule,
+                  config.depth_bound_rule))
+    arrays = native.generate_tree_native_arrays(
+        seed, config.max_actions, config.max_transitions, config.depth_bound,
+        config.root_row_actions(), config.root_col_actions(),
+        config.transition_threshold, config.terminal_values, rules,
+        max_nodes)
+
+    digest = hashlib.blake2b(digest_size=8)
+    digest.update(json.dumps(config.to_json(), sort_keys=True).encode())
+    digest.update(np.int64(seed).tobytes())
+    digest.update(arrays["index"].tobytes())
+    digest.update(arrays["value"].tobytes())
+    tree_hash = int.from_bytes(digest.digest(), "little", signed=True)
+
+    depth = arrays.pop("depth")
+    return GameTree(
+        index=jnp.asarray(arrays["index"]),
+        value=jnp.asarray(arrays["value"]),
+        chance=jnp.asarray(arrays["chance"]),
+        expected_value=jnp.asarray(arrays["expected_value"]),
+        legal=jnp.asarray(arrays["legal"]),
+        solution=jnp.asarray(arrays["solution"]),
+        root_value=jnp.asarray(arrays["root_value"]),
+        depth=jnp.asarray(depth, dtype=jnp.int32),
+        max_actions=config.max_actions,
+        max_transitions=config.max_transitions,
+        max_depth=int(depth[1]),
+        hash=tree_hash,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Invariants (reference tree.py:368-383)
 # ---------------------------------------------------------------------------

@@ -26,17 +26,20 @@ _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
 
 
+_SOURCES = ("solver.cpp", "treegen.cpp")
+
+
 def _build() -> bool:
-    src = os.path.join(_CSRC, "solver.cpp")
-    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC", src,
-           "-o", _LIB_PATH]
+    srcs = [os.path.join(_CSRC, s) for s in _SOURCES]
+    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+           *srcs, "-o", _LIB_PATH]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=240)
         return True
     except (subprocess.SubprocessError, FileNotFoundError) as e:
         logging.warning("native solver build failed (%s); retrying without "
                         "-march=native/-fopenmp", e)
-    cmd = ["g++", "-O2", "-shared", "-fPIC", src, "-o", _LIB_PATH]
+    cmd = ["g++", "-O2", "-shared", "-fPIC", *srcs, "-o", _LIB_PATH]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=240)
         return True
@@ -57,10 +60,10 @@ def get_solver_lib() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        if not os.path.exists(_LIB_PATH) or (
-            os.path.getmtime(_LIB_PATH)
-            < os.path.getmtime(os.path.join(_CSRC, "solver.cpp"))
-        ):
+        src_mtime = max(os.path.getmtime(os.path.join(_CSRC, s))
+                        for s in _SOURCES)
+        if (not os.path.exists(_LIB_PATH)
+                or os.path.getmtime(_LIB_PATH) < src_mtime):
             if not _build():
                 _load_failed = True
                 return None
@@ -82,6 +85,27 @@ def get_solver_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double),  # col_strat
             ctypes.POINTER(ctypes.c_double),  # values
         ]
+        lib.treegen_generate.restype = ctypes.c_int64
+        lib.treegen_generate.argtypes = [
+            ctypes.c_uint64,  # seed
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # A, T, depth_bound
+            ctypes.c_int, ctypes.c_int,  # root_row, root_col
+            ctypes.c_double,  # threshold
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,  # terminal values
+            ctypes.c_int, ctypes.c_int, ctypes.c_double,  # row rule
+            ctypes.c_int, ctypes.c_int, ctypes.c_double,  # col rule
+            ctypes.c_int, ctypes.c_int, ctypes.c_double,  # depth rule
+            ctypes.c_int64,  # max_nodes
+        ]
+        lib.treegen_fetch.restype = ctypes.c_int
+        lib.treegen_fetch.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.treegen_free.restype = None
+        lib.treegen_free.argtypes = []
         _lib = lib
         return _lib
 
@@ -107,3 +131,51 @@ def solve_zero_sum_batch_native(payoff: np.ndarray, rows: np.ndarray,
     if status != 0:
         raise RuntimeError(f"native solver returned status {status}")
     return row_strat, col_strat, values
+
+
+def generate_tree_native_arrays(seed: int, max_actions: int,
+                                max_transitions: int, depth_bound: int,
+                                root_row: int, root_col: int,
+                                threshold: float, terminal_values,
+                                rules, max_nodes: int = 1 << 24):
+    """Runs the C++ level-synchronous generator; returns numpy tensors.
+
+    ``rules`` is ((delta, stoch_delta, prob) x 3) for row/col/depth shaping.
+    Raises RuntimeError if the native library is unavailable.
+    """
+    lib = get_solver_lib()
+    if lib is None or not hasattr(lib, "treegen_generate"):
+        raise RuntimeError("native treegen unavailable")
+    tv = np.ascontiguousarray(terminal_values, dtype=np.float64)
+    (rr, rc, rd) = rules
+    size = lib.treegen_generate(
+        ctypes.c_uint64(seed & (2**64 - 1)), max_actions, max_transitions,
+        depth_bound, root_row, root_col, float(threshold),
+        tv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), tv.size,
+        int(rr[0]), int(rr[1]), float(rr[2]),
+        int(rc[0]), int(rc[1]), float(rc[2]),
+        int(rd[0]), int(rd[1]), float(rd[2]),
+        max_nodes)
+    if size < 0:
+        raise RuntimeError(f"native treegen failed with code {size}")
+    A, T, S = max_actions, max_transitions, int(size)
+    index = np.zeros((S, T, A, A), np.int32)
+    value = np.zeros((S, T, A, A), np.float32)
+    chance = np.zeros((S, T, A, A), np.float32)
+    ev = np.zeros((S, A, A), np.float32)
+    legal = np.zeros((S, A, A), np.float32)
+    solution = np.zeros((S, 2 * A), np.float32)
+    root_value = np.zeros((S,), np.float32)
+    depth = np.zeros((S,), np.int32)
+    i32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    f32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    rc_ = lib.treegen_fetch(i32(index), f32(value), f32(chance), f32(ev),
+                            f32(legal), f32(solution), f32(root_value),
+                            i32(depth))
+    lib.treegen_free()
+    if rc_ != 0:
+        raise RuntimeError("native treegen fetch failed")
+    return dict(index=index, value=value, chance=chance,
+                expected_value=ev[:, None], legal=legal[:, None],
+                solution=solution, root_value=root_value[:, None],
+                depth=depth)

@@ -88,3 +88,20 @@ def test_shaping_rules_control_branching():
     sel = depth == 2
     assert sel.any()
     assert (lg[sel].sum(axis=(1, 2)) == 9).all()
+
+
+def test_native_treegen():
+    """C++ level-synchronous generator: same invariants + exact solutions."""
+    from rnad_tpu import native
+    from rnad_tpu.metrics import nashconv as nc
+
+    if native.get_solver_lib() is None:
+        pytest.skip("native library unavailable")
+    t = tree_lib.generate_tree_native(STOCHASTIC_CFG, seed=5)
+    tree_lib.validate(t)
+    res = nc.nashconv(t, t.solution)
+    assert abs(float(res.nashconv())) < 1e-5
+    t2 = tree_lib.generate_tree_native(STOCHASTIC_CFG, seed=5)
+    assert t2.hash == t.hash
+    t3 = tree_lib.generate_tree_native(STOCHASTIC_CFG, seed=6)
+    assert t3.hash != t.hash
