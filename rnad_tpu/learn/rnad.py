@@ -251,9 +251,14 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
     def learn_jit(state, traj, alpha):
         return _learn_jit(packed_tables, state, traj, alpha)
 
+    @functools.partial(jax.jit, static_argnames=("num_passes",))
+    def _nashconv_jit(tree, variables, num_passes):
+        joint = nashconv_lib.joint_policy_all_nodes(tree, actor_fn,
+                                                    variables)
+        return nashconv_lib.nashconv_pure(tree, joint, num_passes)
+
     def nashconv_fn(variables) -> nashconv_lib.NashConvResult:
-        joint = nashconv_lib.joint_policy_from_net(tree, actor_fn, variables)
-        return nashconv_lib.nashconv(tree, joint)
+        return _nashconv_jit(tree, variables, tree.max_depth)
 
     return train_step, rollout_jit, learn_jit, nashconv_fn
 

@@ -48,9 +48,11 @@ def _split_policy(tree: GameTree, joint_policy: jax.Array):
     return pi_row, pi_col, legal_r, legal_c
 
 
-@functools.partial(jax.jit, static_argnames=("num_passes",))
-def _nashconv_impl(tree: GameTree, joint_policy: jax.Array,
-                   num_passes: int) -> NashConvResult:
+def nashconv_pure(tree: GameTree, joint_policy: jax.Array,
+                  num_passes: int | None = None) -> NashConvResult:
+    """Jit-safe body: call inside an enclosing jit, or use nashconv()."""
+    if num_passes is None:
+        num_passes = tree.max_depth
     S = tree.index.shape[0]
     pi_row, pi_col, legal_r, legal_c = _split_policy(tree, joint_policy)
     is_internal = tree.index > 0
@@ -91,9 +93,35 @@ def _nashconv_impl(tree: GameTree, joint_policy: jax.Array,
                           reach_probability=reach)
 
 
+@functools.partial(jax.jit, static_argnames=("num_passes",))
+def _nashconv_jit(tree: GameTree, joint_policy: jax.Array,
+                  num_passes: int) -> NashConvResult:
+    return nashconv_pure(tree, joint_policy, num_passes)
+
+
 def nashconv(tree: GameTree, joint_policy: jax.Array) -> NashConvResult:
     """Exact best-response values and reach probabilities for every node."""
-    return _nashconv_impl(tree, joint_policy, tree.max_depth)
+    return _nashconv_jit(tree, joint_policy, tree.max_depth)
+
+
+def joint_policy_all_nodes(tree: GameTree, apply_fn, variables) -> jax.Array:
+    """Whole-tree both-seat policy in one pass — jit-safe, no chunking.
+
+    Prefer this inside an enclosing jitted evaluation (e.g. the trainer's
+    NashConv hook); use joint_policy_from_net for host-driven chunked
+    inference over very large trees."""
+    from ..models import common  # local import to avoid cycle
+
+    ev = tree.expected_value
+    lg = tree.legal
+    row_obs = jnp.concatenate([ev, lg], axis=1)
+    col_obs = jnp.concatenate([-ev, lg], axis=1).swapaxes(2, 3)
+    obs = jnp.concatenate([row_obs, col_obs], axis=0)
+    logits, _ = apply_fn(variables, obs)
+    legal = obs[:, 1, :, 0]
+    p = common.masked_policy(logits, legal)
+    n = ev.shape[0]
+    return jnp.concatenate([p[:n], p[n:]], axis=-1)  # (S, 2A)
 
 
 def mean_nashconv_by_depth(tree: GameTree,
@@ -125,8 +153,7 @@ def joint_policy_from_net(tree: GameTree, apply_fn, variables,
     A = tree.max_actions
     chunk = min(inference_batch_size, S)
 
-    @jax.jit
-    def infer(ev, lg):
+    def infer_impl(variables, ev, lg):
         row_obs = jnp.concatenate([ev, lg], axis=1)
         col_obs = jnp.concatenate([-ev, lg], axis=1).swapaxes(2, 3)
         obs = jnp.concatenate([row_obs, col_obs], axis=0)
@@ -135,6 +162,17 @@ def joint_policy_from_net(tree: GameTree, apply_fn, variables,
         p = common.masked_policy(logits, legal)
         n = ev.shape[0]
         return jnp.concatenate([p[:n], p[n:]], axis=-1)  # (n, 2A)
+
+    # cache the jitted program on the apply_fn so repeated evaluations do
+    # not re-trace (a fresh jit per call would recompile every time)
+    jitted = getattr(apply_fn, "_rnad_infer_jit", None)
+    if jitted is None:
+        jitted = jax.jit(infer_impl)
+        try:
+            apply_fn._rnad_infer_jit = jitted
+        except AttributeError:
+            pass
+    infer = lambda ev, lg: jitted(variables, ev, lg)
 
     outs = []
     for start in range(0, S, chunk):
