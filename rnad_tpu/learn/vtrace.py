@@ -193,13 +193,35 @@ def process_policy(policy: jax.Array, mask: jax.Array, n_disc: int,
     p = p / jnp.maximum(p.sum(-1, keepdims=True), 1e-30)
 
     blocks = jnp.ceil(n_disc * p).astype(jnp.float32)
-    order = jnp.argsort(-p, axis=-1)  # stable: ties broken by action index
-    sorted_blocks = jnp.take_along_axis(blocks, order, axis=-1)
-    excl = jnp.cumsum(sorted_blocks, axis=-1) - sorted_blocks
-    granted = jnp.clip(n_disc - excl, 0.0, sorted_blocks)
-    result = jnp.zeros_like(p)
-    result = jnp.put_along_axis(result, order, granted, axis=-1,
-                                inplace=False)
+    n_actions = p.shape[-1]
+    if n_actions <= 16:
+        # Branchless pairwise-rank formulation: an argsort + scatter on a
+        # tiny trailing dim lowers to serialized flat gathers on TPU (the
+        # dominant cost of the whole train step before this rewrite).  The
+        # exclusive sorted-order prefix sum of j's blocks before i is
+        #   sum_j blocks_j * [j sorts before i],
+        # with "before" = (p_j > p_i) or (p_j == p_i and j < i) — exactly
+        # the stable descending order the sort-based path uses.
+        ps = [p[..., i] for i in range(n_actions)]
+        bs = [blocks[..., i] for i in range(n_actions)]
+        granted = []
+        for i in range(n_actions):
+            excl = jnp.zeros_like(ps[i])
+            for j in range(n_actions):
+                if j == i:
+                    continue
+                before = (ps[j] > ps[i]) if j > i else (ps[j] >= ps[i])
+                excl = excl + bs[j] * before
+            granted.append(jnp.clip(n_disc - excl, 0.0, bs[i]))
+        result = jnp.stack(granted, axis=-1)
+    else:
+        order = jnp.argsort(-p, axis=-1)  # stable: ties break by index
+        sorted_blocks = jnp.take_along_axis(blocks, order, axis=-1)
+        excl = jnp.cumsum(sorted_blocks, axis=-1) - sorted_blocks
+        granted = jnp.clip(n_disc - excl, 0.0, sorted_blocks)
+        result = jnp.zeros_like(p)
+        result = jnp.put_along_axis(result, order, granted, axis=-1,
+                                    inplace=False)
     return result / n_disc
 
 
