@@ -109,8 +109,29 @@ def make_packed_tables(tree: GameTree) -> PackedTables:
 
 
 def lookup(packed: PackedTables, indices: jax.Array) -> jax.Array:
-    """(B,) state ids -> (B, D_pad) packed rows.  One wide gather."""
+    """(B,) state ids -> (B, D_pad) packed rows.
+
+    Default: one wide XLA gather (works at any table size).  When the table
+    fits in VMEM, the Pallas one-hot MXU kernel (ops/pallas_lookup.py) can
+    take over via ``set_lookup_mode("pallas")`` — bit-exact (verified) and
+    free of HBM table traffic.
+    """
+    if _LOOKUP_MODE[0] == "pallas":
+        from . import pallas_lookup
+
+        if pallas_lookup.table_fits_vmem(packed.rows):
+            return pallas_lookup.onehot_lookup(packed.rows, indices)
     return packed.rows[indices]
+
+
+_LOOKUP_MODE = ["gather"]
+
+
+def set_lookup_mode(mode: str) -> None:
+    """Selects the packed-row lookup implementation: 'gather' | 'pallas'."""
+    if mode not in ("gather", "pallas"):
+        raise ValueError(mode)
+    _LOOKUP_MODE[0] = mode
 
 
 def slice_observations(packed: PackedTables, rows: jax.Array
