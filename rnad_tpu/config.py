@@ -104,6 +104,10 @@ class NetConfig:
     channels: int = 16  # ConvNet channels
     depth: int = 1  # ConvNet residual tower depth
     batch_norm: bool = True  # ConvNet only
+    # "float32" (default, matches the reference numerics) or "bfloat16"
+    # (mixed precision: bf16 activations/matmuls on the MXU, f32 params and
+    # f32 head outputs).
+    compute_dtype: str = "float32"
 
     def to_json(self) -> dict:
         return dataclasses.asdict(self)

@@ -132,12 +132,14 @@ class ConvNet(nn.Module):
 
 
 def build_net(config: NetConfig) -> nn.Module:
+    dtype = jnp.dtype(config.compute_dtype)
     if config.type == "MLP":
-        return MLP(max_actions=config.max_actions, width=config.width)
+        return MLP(max_actions=config.max_actions, width=config.width,
+                   dtype=dtype)
     if config.type == "ConvNet":
         return ConvNet(max_actions=config.max_actions,
                        channels=config.channels, depth=config.depth,
-                       batch_norm=config.batch_norm)
+                       batch_norm=config.batch_norm, dtype=dtype)
     raise ValueError(f"unknown net type: {config.type}")
 
 
@@ -152,9 +154,13 @@ def has_batch_stats(variables: Dict) -> bool:
 
 def apply_eval(net: nn.Module, variables: Dict, obs: jax.Array
                ) -> Tuple[jax.Array, jax.Array]:
-    """Inference-mode forward: (logits, value), value squeezed to (...,)."""
+    """Inference-mode forward: (logits, value), value squeezed to (...,).
+
+    Head outputs are always f32 (mixed-precision nets compute internally in
+    bf16 but the policy/value math downstream stays in f32)."""
     logits, value = net.apply(variables, obs, train=False)
-    return logits, jnp.squeeze(value, axis=-1)
+    return (logits.astype(jnp.float32),
+            jnp.squeeze(value, axis=-1).astype(jnp.float32))
 
 
 def apply_train(net: nn.Module, variables: Dict, obs: jax.Array
@@ -164,4 +170,5 @@ def apply_train(net: nn.Module, variables: Dict, obs: jax.Array
     mutable = ["batch_stats"] if has_batch_stats(variables) else []
     (logits, value), mutated = net.apply(variables, obs, train=True,
                                          mutable=mutable)
-    return (logits, jnp.squeeze(value, axis=-1)), dict(mutated)
+    return (logits.astype(jnp.float32),
+            jnp.squeeze(value, axis=-1).astype(jnp.float32)), dict(mutated)

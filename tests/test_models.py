@@ -102,3 +102,27 @@ def test_trajectory_inference_matches_per_step(small_tree):
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(v[step]), np.asarray(v_s),
                                    atol=1e-6)
+
+
+def test_bfloat16_compute_mode(small_tree):
+    """Mixed precision: bf16 internals, f32 params and f32 head outputs;
+    the fused train step stays finite."""
+    import jax.numpy as jnp
+    from rnad_tpu.config import RNaDConfig
+    from rnad_tpu.learn import rnad as rnad_lib
+
+    A = 3
+    net = nets.build_net(NetConfig(type="MLP", max_actions=A, width=32,
+                                   compute_dtype="bfloat16"))
+    variables = nets.init_variables(net, jax.random.PRNGKey(0), A)
+    assert variables["params"]["policy_fc0"]["kernel"].dtype == jnp.float32
+    obs = rand_obs(jax.random.PRNGKey(1), 8, A)
+    logits, value = nets.apply_eval(net, variables, obs)
+    assert logits.dtype == jnp.float32 and value.dtype == jnp.float32
+
+    cfg = RNaDConfig(batch_size=32, eta=0.2, bounds=(1,), delta_m=(1,),
+                     lr=1e-3, gamma_averaging=0.01, logit_clip=2.0)
+    train_step, _, _, _ = rnad_lib.make_rnad_fns(net, small_tree, cfg)
+    state = rnad_lib.init_train_state(net, jax.random.PRNGKey(0), A, cfg)
+    state, metrics = train_step(state, jnp.float32(0.5))
+    assert np.isfinite(float(metrics["loss"]))
