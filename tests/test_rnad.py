@@ -147,3 +147,25 @@ def test_convnet_train_step(small_tree):
     assert np.isfinite(float(metrics["loss"]))
     after = np.asarray(state.variables["batch_stats"]["block0"]["bn0"]["mean"])
     assert not np.array_equal(before, after)
+
+
+def test_fused_step_equals_decomposed(small_tree):
+    """The fused on-policy train step and the rollout_jit + learn_jit pair
+    (used by the buffered path) must produce identical states."""
+    cfg = small_cfg(batch_size=48)
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16))
+    train_step, rollout_jit, learn_jit, _ = rnad_lib.make_rnad_fns(
+        net, small_tree, cfg)
+    state0 = rnad_lib.init_train_state(net, jax.random.PRNGKey(7), 3, cfg)
+
+    state_a, metrics_a = train_step(state0, jnp.float32(0.3))
+
+    state_b, traj = rollout_jit(state0)
+    state_b, metrics_b = learn_jit(state_b, traj, jnp.float32(0.3))
+
+    np.testing.assert_allclose(float(metrics_a["loss"]),
+                               float(metrics_b["loss"]), rtol=1e-6)
+    same = jax.tree.map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b), atol=1e-6),
+        state_a.variables, state_b.variables)
+    assert jax.tree.all(same)
