@@ -12,8 +12,15 @@ table** after the initial load:
 Exactness: the one-hot operand is exactly {0, 1} and the contraction is
 performed at HIGHEST precision (bf16x3 on the MXU), which reconstructs f32
 values bit-exactly for 0/1 multipliers — verified by
-tests/test_pallas_lookup.py against the gather path, including the
-f32-encoded child-index lanes.
+tests/test_pallas_lookup.py (interpret mode) and bit-exact on real TPU v5e
+against the gather path, including the f32-encoded child-index lanes.
+
+Measured on v5e (S=320, D=128, B=131072): the XLA dynamic gather reaches
+~0.4 ms and this kernel ~0.7 ms — HIGHEST-precision MXU passes cost more
+than the gather saves at these shapes, so the gather path remains the
+default (ops/stepping.set_lookup_mode selects).  The kernel becomes
+attractive when fused with downstream compute (future work) or on parts
+where gather bandwidth collapses.
 
 The kernel tiles the lane axis on the grid; the table block is broadcast to
 every grid step (constant index map), so Mosaic keeps it resident in VMEM
