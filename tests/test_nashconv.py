@@ -125,3 +125,30 @@ def test_mean_nashconv_by_depth(small_tree):
     means = nc.mean_nashconv_by_depth(small_tree, res)
     assert set(means) == set(range(1, small_tree.max_depth + 1))
     assert all(abs(v) < 1e-5 for v in means.values())
+
+
+def test_matches_recursive_oracle_stochastic_depth():
+    """Stochastic depth rules create edges that skip levels; the
+    level-synchronous induction must still match the recursive oracle."""
+    cfg = TreeConfig(max_actions=2, max_transitions=2,
+                     transition_threshold=0.2, depth_bound=4,
+                     depth_bound_rule=ShapingRule(delta=-1,
+                                                  stochastic_delta=-2,
+                                                  stochastic_prob=0.5))
+    t = tree_lib.generate_tree(cfg, seed=4)
+    rng = np.random.default_rng(1)
+    legal_r = np.asarray(t.legal)[:, 0, :, 0]
+    legal_c = np.asarray(t.legal)[:, 0, 0, :]
+    pr = rng.random((t.size, t.max_actions)) * legal_r + 1e-3 * legal_r
+    pc = rng.random((t.size, t.max_actions)) * legal_c + 1e-3 * legal_c
+    pr /= np.maximum(pr.sum(-1, keepdims=True), 1e-30)
+    pc /= np.maximum(pc.sum(-1, keepdims=True), 1e-30)
+    joint = jnp.asarray(np.concatenate([pr, pc], -1), jnp.float32)
+
+    res = nc.nashconv(t, joint)
+    rb_ref, cb_ref = recursive_best_response(t, joint)
+    live = np.asarray(t.depth) > 0
+    np.testing.assert_allclose(np.asarray(res.row_best)[live], rb_ref[live],
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.col_best)[live], cb_ref[live],
+                               atol=1e-4)
