@@ -1,0 +1,119 @@
+"""General training entrypoint.
+
+Generates (or loads) a game tree, then runs R-NaD with either the demo
+hyperparameters or the DeepNash paper schedule, optionally data-parallel
+over all local devices (multi-host via --coordinator/--num-processes).
+
+Examples:
+  python examples/train.py --demo                      # reference demo run
+  python examples/train.py --tree-depth 6 --max-actions 5 \
+      --batch-size 32768 --data-parallel                # big tree, sharded
+  python examples/train.py --load-tree small_tree      # reuse a saved tree
+"""
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.realpath(__file__))))
+
+from rnad_tpu.config import NetConfig, RNaDConfig, ShapingRule, TreeConfig
+from rnad_tpu.env import tree as tree_lib
+from rnad_tpu.learn import rnad as rnad_lib
+from rnad_tpu.utils import checkpoint
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--name", default=None, help="run directory name")
+    p.add_argument("--seed", type=int, default=0)
+    # tree
+    p.add_argument("--load-tree", default=None)
+    p.add_argument("--max-actions", type=int, default=3)
+    p.add_argument("--max-transitions", type=int, default=2)
+    p.add_argument("--tree-depth", type=int, default=4)
+    p.add_argument("--transition-threshold", type=float, default=0.3)
+    p.add_argument("--stochastic-depth", action="store_true",
+                   help="depth rule -1 with 50%% extra -2 (reference demo)")
+    p.add_argument("--native-gen", action="store_true",
+                   help="use the C++ generator (fast for big trees)")
+    # training
+    p.add_argument("--demo", action="store_true",
+                   help="reference main.py hyperparameters")
+    p.add_argument("--eta", type=float, default=0.2)
+    p.add_argument("--batch-size", type=int, default=768)
+    p.add_argument("--net", choices=["MLP", "ConvNet"], default="MLP")
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard lanes over all local devices")
+    p.add_argument("--coordinator", default=None)
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--max-updates", type=int, default=10**6)
+    p.add_argument("--checkpoint-mod", type=int, default=1000)
+    p.add_argument("--expl-mod", type=int, default=1)
+    p.add_argument("--log-mod", type=int, default=20)
+    p.add_argument("--wandb", action="store_true")
+    args = p.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+
+    from rnad_tpu.parallel import runtime
+    runtime.initialize_distributed(args.coordinator, args.num_processes,
+                                   args.process_id)
+
+    if args.load_tree:
+        tree = checkpoint.load_tree(args.load_tree)
+    else:
+        depth_rule = (ShapingRule(delta=-1, stochastic_delta=-2,
+                                  stochastic_prob=0.5)
+                      if args.stochastic_depth else ShapingRule(delta=-1))
+        tree_cfg = TreeConfig(
+            max_actions=args.max_actions,
+            max_transitions=args.max_transitions,
+            depth_bound=args.tree_depth,
+            transition_threshold=args.transition_threshold,
+            depth_bound_rule=depth_rule)
+        gen = (tree_lib.generate_tree_native if args.native_gen
+               else tree_lib.generate_tree)
+        tree = gen(tree_cfg, seed=args.seed)
+        tree_lib.assert_index_is_tree(tree)
+        checkpoint.save_tree(tree, args.name or "train_tree",
+                             config_json=tree_cfg.to_json())
+    logging.info("tree: size=%d depth=%d hash=%d", tree.size, tree.max_depth,
+                 tree.hash)
+
+    if args.demo:
+        cfg = RNaDConfig(batch_size=512, eta=args.eta, bounds=(64,),
+                         delta_m=(100,), lr=1e-3, gamma_averaging=0.01,
+                         logit_clip=2.0)
+    else:
+        # DeepNash paper schedule (reference rnad.py:40-64 defaults)
+        cfg = RNaDConfig(batch_size=args.batch_size, eta=args.eta)
+
+    net_cfg = NetConfig(type=args.net, max_actions=tree.max_actions,
+                        width=args.width, compute_dtype=args.compute_dtype)
+
+    trainer = rnad_lib.RNaD(tree, cfg, net_cfg, directory_name=args.name,
+                            seed=args.seed, use_wandb=args.wandb)
+    if args.data_parallel:
+        from rnad_tpu.parallel import runtime as rt
+
+        (trainer.train_step, trainer.rollout_jit, trainer.learn_jit,
+         trainer.nashconv_fn), mesh, place = rt.make_sharded_rnad_fns(
+            trainer.net, tree, cfg)
+        trainer.initialize()
+        trainer.state = place(trainer.state)
+        logging.info("sharded over mesh %s", dict(mesh.shape))
+    trainer.run(max_updates=args.max_updates,
+                checkpoint_mod=args.checkpoint_mod,
+                expl_mod=args.expl_mod, log_mod=args.log_mod)
+    logging.info("final nashconv: %f", trainer.nashconv())
+
+
+if __name__ == "__main__":
+    main()

@@ -334,6 +334,8 @@ class RNaD:
                                 self.cfg, init_variables)
 
     def initialize(self) -> None:
+        if self.state is not None:
+            return  # already initialized in this object's lifetime
         resumed = False
         if not self.store.exists() or self.store.latest() is None:
             logging.info("initializing R-NaD run %s", self.store.name)
