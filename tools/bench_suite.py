@@ -21,12 +21,26 @@ import jax
 import jax.numpy as jnp
 
 
-def sustained(fn, *args, warmup=1, iters=8):
+def sustained(fn, *args, warmup=1, iters=8, depth=2):
+    """Sustained per-call time with a bounded dispatch pipeline.
+
+    Keeps at most ``depth`` executions in flight: enough to hide the
+    per-call tunnel latency, without queueing unbounded device temps (an
+    unbounded queue OOMs large configs and defers async errors past the
+    final sync on this platform).
+    """
+    from collections import deque
+
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    jax.block_until_ready(outs)
+    inflight = deque()
+    for _ in range(iters):
+        inflight.append(fn(*args))
+        if len(inflight) > depth:
+            jax.block_until_ready(inflight.popleft())
+    while inflight:
+        jax.block_until_ready(inflight.popleft())
     return (time.perf_counter() - t0) / iters
 
 
