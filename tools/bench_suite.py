@@ -31,16 +31,25 @@ def sustained(fn, *args, warmup=1, iters=8, depth=2):
     """
     from collections import deque
 
+    import numpy as np
+
+    def hard_sync(out):
+        # A device->host fetch both waits for completion and RAISES deferred
+        # async errors; plain block_until_ready on this platform can return
+        # without surfacing a failed execution.
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(leaf.ravel()[0:1])
+
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        hard_sync(fn(*args))
     t0 = time.perf_counter()
     inflight = deque()
     for _ in range(iters):
         inflight.append(fn(*args))
         if len(inflight) > depth:
-            jax.block_until_ready(inflight.popleft())
+            hard_sync(inflight.popleft())
     while inflight:
-        jax.block_until_ready(inflight.popleft())
+        hard_sync(inflight.popleft())
     return (time.perf_counter() - t0) / iters
 
 
@@ -101,13 +110,14 @@ def main():
     actor = lambda vs, obs: nets.apply_eval(net, vs, obs)
     T = 2 * tree.max_depth
 
+    packed = stepping.make_packed_tables(tree)
     for B in args.batches:
-        # tree as a jit argument, not a closure constant — closure constants
-        # get embedded in the compile payload (a ~1M-node tree overflows the
-        # remote-compile request limit)
-        roll = jax.jit(lambda tr, vs, k, B=B: engine.rollout(
-            tr, actor, vs, k, B, tr.max_depth).rewards.sum())
-        dt = sustained(roll, tree, variables, jax.random.PRNGKey(1))
+        # tree/packed as jit arguments, not closure constants — closure
+        # constants get embedded in the compile payload (a ~1M-node tree
+        # overflows the remote-compile request limit)
+        roll = jax.jit(lambda tr, pk, vs, k, B=B: engine.rollout(
+            tr, actor, vs, k, B, tr.max_depth, pk).rewards.sum())
+        dt = sustained(roll, tree, packed, variables, jax.random.PRNGKey(1))
         emit("rollout_env_steps_per_s", T * B / dt, "steps/s", batch=B)
 
         cfg = RNaDConfig(batch_size=B, eta=0.2, bounds=(1,), delta_m=(1,),
