@@ -255,7 +255,8 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
     def _nashconv_jit(tree, variables, num_passes):
         joint = nashconv_lib.joint_policy_all_nodes(tree, actor_fn,
                                                     variables)
-        return nashconv_lib.nashconv_pure(tree, joint, num_passes)
+        return nashconv_lib.nashconv_pure(tree, joint, num_passes,
+                                          compute_reach=False)
 
     def nashconv_fn(variables) -> nashconv_lib.NashConvResult:
         return _nashconv_jit(tree, variables, tree.max_depth)

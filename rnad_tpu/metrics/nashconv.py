@@ -39,34 +39,40 @@ class NashConvResult:
         return self.row_best[1] + self.col_best[1]
 
 
-def _split_policy(tree: GameTree, joint_policy: jax.Array):
-    A = tree.max_actions
-    legal_r = tree.legal[:, 0, :, 0]
-    legal_c = tree.legal[:, 0, 0, :]
-    pi_row = jnp.where(legal_r > 0, joint_policy[:, :A], 0.0)
-    pi_col = jnp.where(legal_c > 0, joint_policy[:, A:], 0.0)
-    return pi_row, pi_col, legal_r, legal_c
-
-
 def nashconv_pure(tree: GameTree, joint_policy: jax.Array,
-                  num_passes: int | None = None) -> NashConvResult:
-    """Jit-safe body: call inside an enclosing jit, or use nashconv()."""
+                  num_passes: int | None = None,
+                  compute_reach: bool = True) -> NashConvResult:
+    """Jit-safe body: call inside an enclosing jit, or use nashconv().
+
+    All per-pass tensors use the **node-minor** (T, A, A, S) layout: on TPU
+    the natural (S, T, A, A) form pads its tiny minor dims to (8, 128) tiles
+    — a 41x memory blowup at A=5 that OOMs million-node trees — while with
+    S minor every array is compact.  The transposes happen once per call.
+    """
     if num_passes is None:
         num_passes = tree.max_depth
+    A = tree.max_actions
     S = tree.index.shape[0]
-    pi_row, pi_col, legal_r, legal_c = _split_policy(tree, joint_policy)
-    is_internal = tree.index > 0
+
+    chance_t = jnp.transpose(tree.chance, (1, 2, 3, 0))  # (T, A, A, S)
+    value_t = jnp.transpose(tree.value, (1, 2, 3, 0))
+    index_t = jnp.transpose(tree.index, (1, 2, 3, 0))
+    internal_t = index_t > 0
+    legal_r = tree.legal[:, 0, :, 0].T  # (A, S)
+    legal_c = tree.legal[:, 0, 0, :].T
+    pi_row = jnp.where(legal_r > 0, joint_policy[:, :A].T, 0.0)  # (A, S)
+    pi_col = jnp.where(legal_c > 0, joint_policy[:, A:].T, 0.0)
 
     def backward(_, carry):
-        row_best, col_best = carry
-        child_row = jnp.where(is_internal, row_best[tree.index], tree.value)
-        child_col = jnp.where(is_internal, col_best[tree.index], -tree.value)
-        row_mat = (tree.chance * child_row).sum(axis=1)  # (S, A, A)
-        col_mat = (tree.chance * child_col).sum(axis=1)
-        row_resp = jnp.einsum("sac,sc->sa", row_mat, pi_col)
-        col_resp = jnp.einsum("sa,sac->sc", pi_row, col_mat)
-        rb = jnp.where(legal_r > 0, row_resp, _NEG_INF).max(axis=-1)
-        cb = jnp.where(legal_c > 0, col_resp, _NEG_INF).max(axis=-1)
+        row_best, col_best = carry  # (S,)
+        child_row = jnp.where(internal_t, row_best[index_t], value_t)
+        child_col = jnp.where(internal_t, col_best[index_t], -value_t)
+        row_mat = (chance_t * child_row).sum(axis=0)  # (A, A, S) [r, c, s]
+        col_mat = (chance_t * child_col).sum(axis=0)
+        row_resp = jnp.einsum("rcs,cs->rs", row_mat, pi_col)
+        col_resp = jnp.einsum("rs,rcs->cs", pi_row, col_mat)
+        rb = jnp.where(legal_r > 0, row_resp, _NEG_INF).max(axis=0)
+        cb = jnp.where(legal_c > 0, col_resp, _NEG_INF).max(axis=0)
         # Absorbing state: value 0 by convention.
         rb = rb.at[0].set(0.0)
         cb = cb.at[0].set(0.0)
@@ -77,26 +83,31 @@ def nashconv_pure(tree: GameTree, joint_policy: jax.Array,
                                            (zeros, zeros))
 
     def forward(_, reach):
-        contrib = (reach[:, None, None, None]
-                   * pi_row[:, None, :, None]
-                   * pi_col[:, None, None, :]
-                   * tree.chance)
-        flat_idx = tree.index.reshape(-1)
+        contrib = (reach[None, None, None, :]
+                   * pi_row[None, :, None, :]
+                   * pi_col[None, None, :, :]
+                   * chance_t)  # (T, A, A, S)
+        flat_idx = index_t.reshape(-1)
         flat_contrib = jnp.where(flat_idx > 0, contrib.reshape(-1), 0.0)
         new = jnp.zeros((S,), reach.dtype).at[flat_idx].add(flat_contrib)
         return new.at[1].set(1.0)
 
     reach0 = jnp.zeros((S,), tree.value.dtype).at[1].set(1.0)
-    reach = jax.lax.fori_loop(0, num_passes, forward, reach0)
+    # The reach scatter-add dominates large-tree eval time; callers that
+    # only need the root NashConv (the trainer hook) skip it.
+    reach = (jax.lax.fori_loop(0, num_passes, forward, reach0)
+             if compute_reach else reach0)
 
     return NashConvResult(row_best=row_best, col_best=col_best,
                           reach_probability=reach)
 
 
-@functools.partial(jax.jit, static_argnames=("num_passes",))
+@functools.partial(jax.jit,
+                   static_argnames=("num_passes", "compute_reach"))
 def _nashconv_jit(tree: GameTree, joint_policy: jax.Array,
-                  num_passes: int) -> NashConvResult:
-    return nashconv_pure(tree, joint_policy, num_passes)
+                  num_passes: int,
+                  compute_reach: bool = True) -> NashConvResult:
+    return nashconv_pure(tree, joint_policy, num_passes, compute_reach)
 
 
 def nashconv(tree: GameTree, joint_policy: jax.Array) -> NashConvResult:
