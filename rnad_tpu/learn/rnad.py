@@ -251,6 +251,12 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
     def learn_jit(state, traj, alpha):
         return _learn_jit(packed_tables, state, traj, alpha)
 
+    # expose the table-as-argument form for callers that wrap the step in a
+    # larger jitted program (closing over the tables would bake them into
+    # the outer program as constants)
+    train_step.inner = _train_step
+    train_step.tables = (tree, packed_tables)
+
     @functools.partial(jax.jit, static_argnames=("num_passes",))
     def _nashconv_jit(tree, variables, num_passes):
         joint = nashconv_lib.joint_policy_all_nodes(tree, actor_fn,

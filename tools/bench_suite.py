@@ -110,30 +110,56 @@ def main():
     actor = lambda vs, obs: nets.apply_eval(net, vs, obs)
     T = 2 * tree.max_depth
 
+    import numpy as np
+
     packed = stepping.make_packed_tables(tree)
     for B in args.batches:
         # tree/packed as jit arguments, not closure constants — closure
         # constants get embedded in the compile payload (a ~1M-node tree
-        # overflows the remote-compile request limit)
-        roll = jax.jit(lambda tr, pk, vs, k, B=B: engine.rollout(
-            tr, actor, vs, k, B, tr.max_depth, pk).rewards.sum())
-        dt = sustained(roll, tree, packed, variables, jax.random.PRNGKey(1))
+        # overflows the remote-compile request limit).  All iterations run
+        # inside ONE jitted scan so measurements are pure device throughput
+        # (per-call tunnel latency on this sandbox is ~30 ms).
+        roll_iters = max(2, min(40, (1 << 22) // B))
+
+        @jax.jit
+        def roll_many(tr, pk, vs, key, B=B, n=roll_iters):
+            def body(acc, k):
+                traj = engine.rollout(tr, actor, vs, k, B, tr.max_depth, pk)
+                return acc + traj.rewards.sum(), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                                  jax.random.split(key, n))
+            return acc
+
+        np.asarray(roll_many(tree, packed, variables, jax.random.PRNGKey(1)))
+        t0 = time.perf_counter()
+        np.asarray(roll_many(tree, packed, variables, jax.random.PRNGKey(2)))
+        dt = (time.perf_counter() - t0) / roll_iters
         emit("rollout_env_steps_per_s", T * B / dt, "steps/s", batch=B)
 
         cfg = RNaDConfig(batch_size=B, eta=0.2, bounds=(1,), delta_m=(1,),
                          lr=1e-3, gamma_averaging=0.01, logit_clip=2.0)
-        train_step, _, _, _ = rnad_lib.make_rnad_fns(net, tree, cfg)
+        train_step, _, learn_jit, _ = rnad_lib.make_rnad_fns(net, tree, cfg)
         state = rnad_lib.init_train_state(net, jax.random.PRNGKey(0), A, cfg)
 
-        def step(s):
-            s2, m = train_step(s, jnp.float32(0.5))
-            return s2
+        train_iters = max(2, min(10, (1 << 20) // B))
+        from rnad_tpu.learn.rnad import TrainState  # noqa: F401
 
-        state = step(state)  # compile + warm
-        dt = sustained(step, state, warmup=1, iters=6)
+        @jax.jit
+        def train_many(tr, pk, s0, n=train_iters):
+            def body(s, _):
+                s2, m = train_step.inner(tr, pk, s, jnp.float32(0.5))
+                return s2, m["loss"]
+            s_out, losses = jax.lax.scan(body, s0, None, length=n)
+            return losses
+
+        np.asarray(train_many(tree, packed, state))  # compile + warm
+        t0 = time.perf_counter()
+        losses = np.asarray(train_many(tree, packed, state))
+        dt = (time.perf_counter() - t0) / train_iters
+        assert np.isfinite(losses).all()
         emit("train_steps_per_s", 1.0 / dt, "updates/s", batch=B)
         emit("train_env_steps_per_s", T * B / dt, "steps/s", batch=B)
-        del state, train_step  # release device buffers before next config
+        del state, train_step, train_many  # release before next config
         import gc
 
         gc.collect()
