@@ -105,21 +105,32 @@ int solve_one(const double* payoff, int rows, int cols, int ld_c,
       }
       if (enter < 0) break;  // optimal (no usable entering column)
 
-      // Ratio test (lowest basis index tie-break).
+      // Ratio test: global minimum first, then lowest basis index among
+      // rows within eps of that minimum (two-pass, matching the numpy
+      // fallback exactly so both paths pivot identically on degenerate
+      // games and produce the same strategies).
       leave = -1;
       best_ratio = 0.0;
       for (int i = 0; i < m; ++i) {
         const double a = at(i, enter);
         if (a > kEps) {
           const double ratio = at(i, n + m) / a;
-          if (leave < 0 || ratio < best_ratio - kEps ||
-              (ratio < best_ratio + kEps && basis[i] < basis[leave])) {
+          if (leave < 0 || ratio < best_ratio) {
             best_ratio = ratio;
             leave = i;
           }
         }
       }
-      if (leave >= 0) break;  // found a pivot
+      if (leave >= 0) {
+        for (int i = 0; i < m; ++i) {
+          const double a = at(i, enter);
+          if (a > kEps && at(i, n + m) / a < best_ratio + kEps &&
+              basis[i] < basis[leave]) {
+            leave = i;
+          }
+        }
+        break;  // found a pivot
+      }
       banned[enter] = 1;  // numerically unbounded column: skip it
     }
     if (enter < 0) break;  // optimal

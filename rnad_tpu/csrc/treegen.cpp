@@ -116,6 +116,8 @@ int64_t treegen_generate(
     int dep_d, int dep_sd, double dep_p,
     int64_t max_nodes) {
   const int A = max_actions, T = max_transitions;
+  if (T < 1 || T > 64) return -4;  // fixed Dirichlet scratch is 64-wide
+  if (A < 1 || n_terminal < 1) return -5;
   const int AA = A * A;
   const Rule rrow{row_d, row_sd, row_p}, rcol{col_d, col_sd, col_p},
       rdep{dep_d, dep_sd, dep_p};
@@ -165,11 +167,16 @@ int64_t treegen_generate(
             p[t] = T == 1 ? 1.0 : rng.gamma(1.0 / T);
             sum += p[t];
           }
+          // Normalize and find the argmax of the RAW draw before
+          // thresholding (the fallback keeps the raw argmax when every
+          // entry falls below the threshold, matching env/tree.py).
           int argmax = 0;
-          double kept = 0.0;
           for (int t = 0; t < T; ++t) {
             p[t] /= sum;
             if (p[t] > p[argmax]) argmax = t;
+          }
+          double kept = 0.0;
+          for (int t = 0; t < T; ++t) {
             if (p[t] < threshold) p[t] = 0.0;
             kept += p[t];
           }

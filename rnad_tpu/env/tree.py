@@ -104,12 +104,13 @@ def _sample_chance(rng: np.random.Generator, n: int, A: int, T: int,
 
 
 def generate_tree(config: TreeConfig, seed: int = 0,
-                  dtype=jnp.float32) -> GameTree:
+                  dtype=jnp.float32, max_nodes: int = 1 << 24) -> GameTree:
     """Generates and exactly solves a random matrix-tree game.
 
     Topology is built top-down one level at a time; values are solved
     bottom-up with one batched zero-sum LP call per level (the pygambit
-    replacement, see env/solver.py).
+    replacement, see env/solver.py).  ``max_nodes`` bounds runaway configs
+    (e.g. a depth rule that never decrements).
     """
     A, T = config.max_actions, config.max_transitions
     if config.depth_bound < 1:
@@ -151,6 +152,10 @@ def generate_tree(config: TreeConfig, seed: int = 0,
         child_ids = np.zeros(n_children, dtype=np.int64)
         child_ids[internal] = next_id + np.arange(n_internal)
         next_id += n_internal
+        if next_id > max_nodes:
+            raise ValueError(
+                f"tree exceeded max_nodes={max_nodes}; check the shaping "
+                "rules (a non-decrementing depth rule never terminates)")
 
         term_draw = rng.choice(terminal_values, size=n_children)
 

@@ -29,13 +29,18 @@ from ..env.engine import Trajectory
 class TrajectoryBuffer:
     def __init__(self, max_size: int):
         self.max_size = max_size
-        self.slots: deque = deque(maxlen=max_size)
+        self.slots: deque = deque()
 
     def __len__(self) -> int:
         return len(self.slots)
 
     def append(self, traj: Trajectory) -> None:
+        """Appends and evicts oldest slots beyond ``max_size`` — which is
+        honored dynamically (the trainer may adjust it between update
+        periods, mirroring reference rnad.py:488)."""
         self.slots.append(traj)
+        while len(self.slots) > self.max_size:
+            self.slots.popleft()
 
     def clear(self) -> None:
         self.slots.clear()

@@ -410,6 +410,7 @@ class RNaD:
         import time as _time
         last_log_time = _time.perf_counter()
         last_log_steps = int(self.state.total_steps)
+        last_log_steps_host = last_log_steps  # host mirror of total_steps
 
         for _ in range(max_updates):
             may_resume, delta_m = self._get_update_info()
@@ -432,13 +433,15 @@ class RNaD:
                     self.state, metrics = self.train_step(
                         self.state, jnp.float32(alpha))
                 else:
-                    total = int(self.state.total_steps)
-                    if total % cfg.buffer_mod == 0:
+                    # track the step counter host-side: fetching
+                    # state.total_steps would force a device sync per step
+                    if last_log_steps_host % cfg.buffer_mod == 0:
                         self.state, traj = self.rollout_jit(self.state)
                         buffer.append(traj)
                     sample = buffer.sample(cfg.batch_size, self._np_rng)
                     self.state, metrics = self.learn_jit(
                         self.state, sample, jnp.float32(alpha))
+                last_log_steps_host += 1
 
                 if self.n % log_mod == 0:
                     # blocking on the metrics here also attributes the wall

@@ -122,16 +122,14 @@ def joint_policy_all_nodes(tree: GameTree, apply_fn, variables) -> jax.Array:
     NashConv hook); use joint_policy_from_net for host-driven chunked
     inference over very large trees."""
     from ..models import common  # local import to avoid cycle
+    from ..ops.stepping import seat_observations
 
-    ev = tree.expected_value
-    lg = tree.legal
-    row_obs = jnp.concatenate([ev, lg], axis=1)
-    col_obs = jnp.concatenate([-ev, lg], axis=1).swapaxes(2, 3)
+    row_obs, col_obs = seat_observations(tree.expected_value, tree.legal)
     obs = jnp.concatenate([row_obs, col_obs], axis=0)
     logits, _ = apply_fn(variables, obs)
     legal = obs[:, 1, :, 0]
     p = common.masked_policy(logits, legal)
-    n = ev.shape[0]
+    n = tree.expected_value.shape[0]
     return jnp.concatenate([p[:n], p[n:]], axis=-1)  # (S, 2A)
 
 
@@ -164,9 +162,10 @@ def joint_policy_from_net(tree: GameTree, apply_fn, variables,
     A = tree.max_actions
     chunk = min(inference_batch_size, S)
 
+    from ..ops.stepping import seat_observations
+
     def infer_impl(variables, ev, lg):
-        row_obs = jnp.concatenate([ev, lg], axis=1)
-        col_obs = jnp.concatenate([-ev, lg], axis=1).swapaxes(2, 3)
+        row_obs, col_obs = seat_observations(ev, lg)
         obs = jnp.concatenate([row_obs, col_obs], axis=0)
         logits, _ = apply_fn(variables, obs)
         legal = obs[:, 1, :, 0]

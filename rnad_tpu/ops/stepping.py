@@ -53,6 +53,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def seat_observations(expected_value: jax.Array, legal: jax.Array
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """THE observation convention, defined once (reference episode.py:62-68).
+
+    Row player sees [expected_value | legal]; column player the negated,
+    transposed matrix with transposed legality.  Inputs are (N, 1, A, A);
+    outputs (N, 2, A, A) per seat.
+    """
+    row_obs = jnp.concatenate([expected_value, legal], axis=1)
+    col_obs = jnp.concatenate([-expected_value, legal], axis=1).swapaxes(2, 3)
+    return row_obs, col_obs
+
+
 @struct.dataclass
 class PackedTables:
     """One-gather-per-turn state table (see module docstring)."""
@@ -81,12 +94,10 @@ def make_packed_tables(tree: GameTree) -> PackedTables:
         raise ValueError("packed tables require S < 2^24 (f32-exact indices)")
     AA = A * A
 
-    ev = tree.expected_value[:, 0]  # (S, A, A)
+    row_obs4, col_obs4 = seat_observations(tree.expected_value, tree.legal)
+    row_obs = row_obs4.reshape(S, 2 * AA)
+    col_obs = col_obs4.reshape(S, 2 * AA)
     lg = tree.legal[:, 0]
-    row_obs = jnp.concatenate([ev.reshape(S, AA), lg.reshape(S, AA)], -1)
-    col_obs = jnp.concatenate(
-        [(-ev).swapaxes(1, 2).reshape(S, AA),
-         lg.swapaxes(1, 2).reshape(S, AA)], -1)
 
     row_mask = lg[:, :, 0]  # (S, A): legal row actions
     col_mask = lg[:, 0, :]  # (S, A): legal col actions
@@ -237,8 +248,5 @@ def transition(tables: StepTables, indices: jax.Array, row_actions: jax.Array,
 def observe(tree: GameTree, indices: jax.Array
             ) -> Tuple[jax.Array, jax.Array]:
     """Observations for both seats of a batch of states (narrow path)."""
-    ev = tree.expected_value[indices]  # (B, 1, A, A)
-    lg = tree.legal[indices]
-    row_obs = jnp.concatenate([ev, lg], axis=1)
-    col_obs = jnp.concatenate([-ev, lg], axis=1).swapaxes(2, 3)
-    return row_obs, col_obs
+    return seat_observations(tree.expected_value[indices],
+                             tree.legal[indices])

@@ -113,16 +113,19 @@ class RunStore:
 
     def latest(self) -> Optional[Tuple[int, int]]:
         """Max (m, n) with a saved checkpoint, resume semantics of
-        reference rnad.py:243-272."""
+        reference rnad.py:243-272.  An m-directory left empty by an
+        interrupted save is skipped in favor of the newest complete one
+        (so a crash mid-checkpoint never silently restarts the run)."""
         if not os.path.isdir(self.directory):
             return None
-        ms = [int(d) for d in os.listdir(self.directory)
-              if d.isdigit() and os.path.isdir(os.path.join(self.directory, d))]
-        if not ms:
-            return None
-        m = max(ms)
-        ns = [int(f[:-5]) for f in os.listdir(os.path.join(self.directory, str(m)))
-              if f.endswith(".ckpt")]
-        if not ns:
-            return None
-        return m, max(ns)
+        ms = sorted((int(d) for d in os.listdir(self.directory)
+                     if d.isdigit()
+                     and os.path.isdir(os.path.join(self.directory, d))),
+                    reverse=True)
+        for m in ms:
+            ns = [int(f[:-5])
+                  for f in os.listdir(os.path.join(self.directory, str(m)))
+                  if f.endswith(".ckpt")]
+            if ns:
+                return m, max(ns)
+        return None
