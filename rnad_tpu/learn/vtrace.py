@@ -109,6 +109,17 @@ def v_trace(
     ratio = policy_ratio(merged_policy, acting_policy, actions_oh, valid)
     inv_mu = policy_ratio(jnp.ones_like(merged_policy), acting_policy,
                           actions_oh, valid)
+    # f32 overflow guard, exact elsewhere: at very large batches the tail of
+    # the behavior policy produces mu ~ 1e-7 samples, and the multiplicative
+    # importance-sampling carry across opponent segments can overflow f32 to
+    # inf, which turns into NaN in the NeuRD advantage (inf - inf).  Values
+    # this large are clipped to neurd_clip (1e3) downstream anyway, so
+    # capping at 1e15 (products stay < f32 max) does not change any
+    # non-degenerate result.  The reference has the same overflow at this
+    # scale; it simply never ran batches big enough to sample the tail.
+    _IS_CAP = 1e15
+    inv_mu = jnp.minimum(inv_mu, _IS_CAP)
+    ratio = jnp.minimum(ratio, _IS_CAP)
 
     eta_reg_entropy = (-eta
                        * (merged_policy * merged_log_policy).sum(-1)
@@ -156,7 +167,8 @@ def v_trace(
             reward_uncorrected=reward_uncorrected,
             next_value=gamma * carry.next_value,
             next_v_target=gamma * carry.next_v_target,
-            importance_sampling=cs * carry.importance_sampling)
+            importance_sampling=jnp.minimum(
+                cs * carry.importance_sampling, _IS_CAP))
 
         zero_out = (jnp.zeros_like(our_v_target),
                     jnp.zeros_like(our_learning_output))

@@ -148,3 +148,37 @@ def test_has_played_parity():
                             jnp.asarray(d["player_id"]), player)
         np.testing.assert_allclose(np.asarray(out),
                                    ref.numpy().astype(np.float32), atol=0)
+
+
+def test_vtrace_extreme_is_ratios_stay_finite():
+    """f32 overflow guard: huge pi/mu tail ratios across several opponent
+    steps must not produce inf/NaN in the learning outputs (observed at
+    131k-lane batches on million-node trees)."""
+    T, B, A = 9, 4, 3
+    valid = np.ones((T, B), np.float32)
+    player_id = np.tile((np.arange(T) % 2)[:, None], (1, B)).astype(np.int64)
+    legal = np.ones((T, B, A), np.float32)
+    mu = np.full((T, B, A), 1e-8, np.float32)
+    mu[..., 0] = 1.0 - 2e-8
+    actions_oh = np.zeros((T, B, A), np.float32)
+    actions_oh[..., 1] = 1.0  # always the 1e-8-probability action
+    pi = np.full((T, B, A), 1.0 / 3, np.float32)
+    reward = np.ones((T, B), np.float32)
+    v = np.ones((T, B, 1), np.float32)
+    log_pi_reg = np.zeros((T, B, A), np.float32)
+
+    for player in (0, 1):
+        v_t, played, lo = jv.v_trace(
+            jnp.asarray(v), jnp.asarray(valid), jnp.asarray(player_id),
+            jnp.asarray(mu), jnp.asarray(pi), jnp.asarray(log_pi_reg),
+            jv.player_others(jnp.asarray(player_id), jnp.asarray(valid),
+                             player),
+            jnp.asarray(actions_oh), jnp.asarray(reward), player,
+            eta=0.2)
+        assert np.isfinite(np.asarray(v_t)).all()
+        assert np.isfinite(np.asarray(lo)).all()
+        loss = jv.get_loss_nerd(
+            [jnp.zeros((T, B, A))] * 2, [jnp.asarray(pi)] * 2,
+            [lo, lo], jnp.asarray(valid), jnp.asarray(player_id),
+            jnp.asarray(legal), [jnp.ones((T, B, 1))] * 2)
+        assert np.isfinite(float(loss))
