@@ -77,9 +77,14 @@ def has_played(valid: jax.Array, player_id: jax.Array,
 
 def policy_ratio(pi: jax.Array, mu: jax.Array, actions_oh: jax.Array,
                  valid: jax.Array) -> jax.Array:
-    """pi/mu of the chosen action; 1 on invalid steps (vtrace.py:180-204)."""
+    """pi/mu of the chosen action; 1 on invalid steps (vtrace.py:180-204).
+
+    The denominator is floored at 1e-30: at large batch sizes the sampler
+    occasionally draws an action whose f32 softmax probability rounds to
+    exactly 0, and 0/0 would seed NaNs through the whole scan (the ratio
+    caps in v_trace bound the resulting large-but-finite ratio instead)."""
     prob = lambda p: (actions_oh * p).sum(-1) * valid + (1 - valid)
-    return prob(pi) / prob(mu)
+    return prob(pi) / jnp.maximum(prob(mu), 1e-30)
 
 
 def v_trace(
@@ -162,8 +167,13 @@ def v_trace(
             next_value=v_t,
             next_v_target=our_v_target,
             importance_sampling=jnp.ones_like(carry.importance_sampling))
+        # The opponent reward chain multiplies cs across consecutive
+        # opponent steps; with tail ratios near the cap it can straddle the
+        # f32 overflow boundary (whether it tips to inf then depends on the
+        # compiler's fusion order), so it is clipped like the IS carry.
         opp_carry = VTraceCarry(
-            reward=ent_t + cs * discounted_reward,
+            reward=jnp.clip(ent_t + cs * discounted_reward,
+                            -_IS_CAP, _IS_CAP),
             reward_uncorrected=reward_uncorrected,
             next_value=gamma * carry.next_value,
             next_v_target=gamma * carry.next_v_target,
