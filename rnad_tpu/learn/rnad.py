@@ -117,17 +117,23 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
     pi_processed_sg = jax.lax.stop_gradient(pi_processed)
 
     # Frozen nets: EMA target for values, regularization pair for the
-    # R-NaD transform (reference rnad.py:377-382).
-    logits_t, v_target_raw, _ = _forward_trajectory(net, target_vars,
-                                                    observations, train=False)
+    # R-NaD transform (reference rnad.py:377-382).  All three share the
+    # architecture, so their forwards run as ONE vmapped batched matmul
+    # instead of three separate passes over (T*B) observations.
+    T, B = traj.rewards.shape
+    obs_flat = observations.reshape((T * B,) + observations.shape[2:])
+    frozen = jax.tree.map(lambda a, b, c: jnp.stack([a, b, c]),
+                          target_vars, reg_vars, reg_prev_vars)
+    logits3, values3 = jax.vmap(
+        lambda v: nets.apply_eval(net, v, obs_flat))(frozen)
+    A = traj.policy.shape[-1]
+    logits_t = logits3[0].reshape(T, B, A)
     pi_target = common.masked_policy(logits_t, masks)
-    v_target_net = jax.lax.stop_gradient(v_target_raw[..., None])
-    logits_r, _, _ = _forward_trajectory(net, reg_vars, observations,
-                                         train=False)
-    log_pi_reg = common.masked_log_policy(logits_r, masks)
-    logits_rp, _, _ = _forward_trajectory(net, reg_prev_vars, observations,
-                                          train=False)
-    log_pi_reg_prev = common.masked_log_policy(logits_rp, masks)
+    v_target_net = jax.lax.stop_gradient(
+        values3[0].reshape(T, B)[..., None])
+    log_pi_reg = common.masked_log_policy(logits3[1].reshape(T, B, A), masks)
+    log_pi_reg_prev = common.masked_log_policy(logits3[2].reshape(T, B, A),
+                                               masks)
 
     # alpha interpolates the two regularization nets' log-policies
     # (reference rnad.py:382); the whole v-trace block is gradient-free
