@@ -83,3 +83,23 @@ def test_model_parallel_mlp(small_tree):
     assert not kern.sharding.is_fully_replicated  # width is model-sharded
     state, metrics = train_step(state, jnp.float32(0.5))
     assert np.isfinite(float(metrics["loss"]))
+
+
+@requires_multidevice
+def test_trainer_class_sharded_end_to_end(tmp_path, small_tree):
+    """Full RNaD trainer driving the sharded step family on the mesh."""
+    cfg = RNaDConfig(batch_size=64, eta=0.2, bounds=(1,), delta_m=(2,),
+                     lr=1e-3, gamma_averaging=0.01, logit_clip=2.0)
+    ncfg = NetConfig(type="MLP", max_actions=3, width=32)
+    trainer = rnad_lib.RNaD(small_tree, cfg, ncfg, directory_name="sharded",
+                            runs_root=str(tmp_path), seed=0)
+    (trainer.train_step, trainer.rollout_jit, trainer.learn_jit,
+     trainer.nashconv_fn), mesh, place = runtime.make_sharded_rnad_fns(
+        trainer.net, small_tree, cfg)
+    trainer.initialize()
+    trainer.state = place(trainer.state)
+    trainer.run(checkpoint_mod=1, expl_mod=1, log_mod=1)
+    assert int(trainer.state.total_steps) == 2
+    assert np.isfinite(trainer.nashconv())
+    # checkpoint of the sharded state must be reloadable
+    assert trainer.store.latest() is not None
