@@ -104,9 +104,11 @@ def nashconv_pure(tree: GameTree, joint_policy: jax.Array,
                    * pi_row[None, :, None, :]
                    * pi_col[None, None, :, :]
                    * chance_t)  # (T, A, A, S)
-        flat_idx = index_t.reshape(-1)
-        flat_contrib = jnp.where(flat_idx > 0, contrib.reshape(-1), 0.0)
-        new = jnp.zeros((S,), reach.dtype).at[flat_idx].add(flat_contrib)
+        # each node's reach is exactly its unique parent cell's contribution
+        # — one S-element gather, no scatter-add over all cells
+        cf = jnp.concatenate([contrib.reshape(-1),
+                              jnp.zeros((1,), contrib.dtype)])
+        new = cf[parent_cell]
         return new.at[1].set(1.0)
 
     reach0 = jnp.zeros((S,), tree.value.dtype).at[1].set(1.0)
