@@ -157,7 +157,14 @@ def generate_tree_native_arrays(seed: int, max_actions: int,
         int(rd[0]), int(rd[1]), float(rd[2]),
         max_nodes)
     if size < 0:
-        raise RuntimeError(f"native treegen failed with code {size}")
+        reasons = {
+            -2: f"tree exceeded max_nodes={max_nodes} (runaway shaping rule?)",
+            -3: "a game matrix failed to solve (see stderr for the matrix)",
+            -4: "max_transitions must be in [1, 64]",
+            -5: "max_actions and len(terminal_values) must be >= 1",
+        }
+        raise RuntimeError(
+            f"native treegen failed: {reasons.get(int(size), f'code {size}')}")
     A, T, S = max_actions, max_transitions, int(size)
     index = np.zeros((S, T, A, A), np.int32)
     value = np.zeros((S, T, A, A), np.float32)

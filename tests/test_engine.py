@@ -5,6 +5,7 @@ stored root value (SURVEY.md §4)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rnad_tpu.config import NetConfig
 from rnad_tpu.env import engine
@@ -118,3 +119,32 @@ def test_terminal_lanes_idle_at_absorbing(tiny_tree):
     # absorbed lanes yield zero rewards forever
     rewards = np.asarray(traj.rewards)
     assert (rewards[2 * t.max_depth:] == 0).all()
+
+
+@pytest.mark.parametrize("A,T,depth", [(4, 4, 2), (8, 1, 2), (2, 3, 3)])
+def test_engine_across_game_shapes(A, T, depth):
+    """Rollout + learner consistency on wider/narrower action and chance
+    spaces than the demo tree."""
+    from rnad_tpu.config import NetConfig, RNaDConfig, TreeConfig
+    from rnad_tpu.env import tree as tree_lib
+    from rnad_tpu.learn import rnad as rnad_lib
+    from rnad_tpu.metrics import nashconv as nc
+
+    cfg = TreeConfig(max_actions=A, max_transitions=T,
+                     transition_threshold=0.1, depth_bound=depth)
+    t = tree_lib.generate_tree(cfg, seed=1)
+    tree_lib.validate(t)
+    assert abs(float(nc.nashconv(t, t.solution).nashconv())) < 1e-4
+
+    traj = engine._jit_rollout_tabular(t, t.solution, jax.random.PRNGKey(0),
+                                       20_000, t.max_depth)
+    mc = float(engine.episode_returns(traj).mean())
+    assert abs(mc - float(t.root_value[1, 0])) < 0.05
+
+    rcfg = RNaDConfig(batch_size=32, eta=0.2, bounds=(1,), delta_m=(1,),
+                      lr=1e-3, gamma_averaging=0.01, logit_clip=2.0)
+    net_ = nets.build_net(NetConfig(type="MLP", max_actions=A, width=16))
+    step, _, _, _ = rnad_lib.make_rnad_fns(net_, t, rcfg)
+    state = rnad_lib.init_train_state(net_, jax.random.PRNGKey(0), A, rcfg)
+    state, metrics = step(state, jnp.float32(0.5))
+    assert np.isfinite(float(metrics["loss"]))
