@@ -47,19 +47,42 @@ class TrajectoryBuffer:
 
     def sample(self, batch_size: int,
                rng: Optional[np.random.Generator] = None) -> Trajectory:
+        """Collates exactly ``batch_size`` lanes (the reference asserts the
+        exact split, episode.py:318; a smaller batch would also change the
+        trajectory shape and force a learn_fn re-jit).
+
+        The multinomial allocation is clipped to each slot's lane count and
+        the deficit redistributed to slots with spare lanes; if the whole
+        buffer holds fewer than ``batch_size`` lanes, the remainder is drawn
+        with replacement."""
         n = len(self.slots)
         if n == 0:
             raise ValueError("sampling from an empty buffer")
         if n == 1 and self.slots[0].batch_size == batch_size:
             return self.slots[0]  # on-policy fast path
         rng = rng or np.random.default_rng()
-        counts = rng.multinomial(batch_size, [1.0 / n] * n)
+        sizes = np.array([t.batch_size for t in self.slots], dtype=np.int64)
+        counts = np.minimum(rng.multinomial(batch_size, [1.0 / n] * n), sizes)
+        while (deficit := batch_size - int(counts.sum())) > 0:
+            room = sizes - counts
+            total_room = int(room.sum())
+            if total_room == 0:
+                break  # buffer smaller than the batch: replacement below
+            extra = rng.multinomial(min(deficit, total_room),
+                                    room / total_room)
+            counts = np.minimum(counts + extra, sizes)
+        overflow = batch_size - int(counts.sum())  # > 0 only if buffer < batch
         parts = []
-        for traj, count in zip(self.slots, counts):
-            if count == 0:
+        for i, (traj, count) in enumerate(zip(self.slots, counts)):
+            extra = overflow if i == 0 else 0
+            if count + extra == 0:
                 continue
-            count = min(int(count), traj.batch_size)
-            lanes = jnp.asarray(
-                rng.choice(traj.batch_size, size=count, replace=False))
+            lanes = rng.choice(traj.batch_size, size=int(count),
+                               replace=False)
+            if extra:
+                lanes = np.concatenate(
+                    [lanes, rng.choice(traj.batch_size, size=extra,
+                                       replace=True)])
+            lanes = jnp.asarray(lanes)
             parts.append(jax.tree.map(lambda x: x[:, lanes], traj))
         return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *parts)

@@ -95,12 +95,21 @@ def _forward_trajectory(net, variables, observations, train: bool):
 
 def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
                reg_prev_vars, packed, traj: engine.Trajectory,
-               alpha: jax.Array, cfg: RNaDConfig):
+               alpha: jax.Array, cfg: RNaDConfig,
+               axis_name: Optional[str] = None):
     """Loss of one learner update (mirrors reference ``__learn``,
     rnad.py:353-456).  Differentiated w.r.t. ``learner_params`` only.
 
     Observations and legal masks are re-derived from the state indices via
-    the packed table (pure functions of the index; see env/engine.py)."""
+    the packed table (pure functions of the index; see env/engine.py).
+
+    ``axis_name``: when the trajectory is a per-device lane shard inside a
+    ``shard_map``, every masked-mean normalization (losses, kld metrics) is
+    made global with psums over that axis, so the loss — and therefore the
+    psum of the per-shard gradients — matches the unsharded computation up
+    to reduction order (see parallel/shard_map_step.py)."""
+    gsum = ((lambda x: jax.lax.psum(x, axis_name))
+            if axis_name is not None else None)
     learner_vars = dict(aux_collections, params=learner_params)
     valid = traj.valid()
     player_id = traj.turns
@@ -154,31 +163,45 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
         has_played_list.append(jax.lax.stop_gradient(played))
         policy_target_list.append(jax.lax.stop_gradient(pol_t))
 
-    loss_v = vtrace.get_loss_v([v, v], v_target_list, has_played_list)
+    loss_v = vtrace.get_loss_v([v, v], v_target_list, has_played_list,
+                               global_sum=gsum)
 
     is_vector = jnp.ones_like(valid)[..., None]
     loss_nerd = vtrace.get_loss_nerd(
         [logits, logits], [pi_processed_sg, pi_processed_sg],
         policy_target_list, valid, player_id, masks,
         [is_vector, is_vector], clip=cfg.neurd_clip,
-        threshold=cfg.logit_clip)
+        threshold=cfg.logit_clip, global_sum=gsum)
 
     loss = cfg.value_loss_weight * loss_v + cfg.neurd_loss_weight * loss_nerd
 
-    # Diagnostics (reference rnad.py:427-454).
+    # Diagnostics (reference rnad.py:427-454).  Under an axis_name, counts
+    # and extrema reduce globally so every metric equals its unsharded value.
     uniform_policy = masks / jnp.maximum(masks.sum(-1, keepdims=True), 1e-30)
-    logit_mean = logits.mean()
+    if gsum is None:
+        logit_mean = logits.mean()
+        traj_len = valid.sum(0).mean()
+        logit_max = jnp.abs(logits - logit_mean).max()
+    else:
+        logit_mean = gsum(logits.sum()) / gsum(jnp.float32(logits.size))
+        traj_len = gsum(valid.sum()) / gsum(jnp.float32(valid.shape[1]))
+        # diagnostics only: stop_gradient so pmax (no JVP rule) is never
+        # differentiated through
+        logit_max = jax.lax.pmax(
+            jax.lax.stop_gradient(jnp.abs(logits - logit_mean).max()),
+            axis_name)
     metrics = {
         "loss": loss,
         "loss_v": loss_v,
         "loss_nerd": loss_nerd,
-        "traj_len": valid.sum(0).mean(),
+        "traj_len": traj_len,
         "logit_mean": logit_mean,
-        "logit_max": jnp.abs(logits - logit_mean).max(),
-        "entropy": nashconv_lib.kld(pi, uniform_policy, valid, masks),
+        "logit_max": logit_max,
+        "entropy": nashconv_lib.kld(pi, uniform_policy, valid, masks, gsum),
         "entropy_target": nashconv_lib.kld(pi_target, uniform_policy, valid,
-                                           masks),
-        "actor_learner_kld": nashconv_lib.kld(pi, traj.policy, valid, masks),
+                                           masks, gsum),
+        "actor_learner_kld": nashconv_lib.kld(pi, traj.policy, valid, masks,
+                                              gsum),
     }
     return loss, (mutated, metrics)
 
@@ -440,8 +463,12 @@ class RNaD:
                         self.state, jnp.float32(alpha))
                 else:
                     # track the step counter host-side: fetching
-                    # state.total_steps would force a device sync per step
-                    if last_log_steps_host % cfg.buffer_mod == 0:
+                    # state.total_steps would force a device sync per step.
+                    # The empty-buffer check covers resume at a step count
+                    # not divisible by buffer_mod (the reference crashes
+                    # there, episode.py:318 via rnad.py:488).
+                    if (len(buffer) == 0
+                            or last_log_steps_host % cfg.buffer_mod == 0):
                         self.state, traj = self.rollout_jit(self.state)
                         buffer.append(traj)
                     sample = buffer.sample(cfg.batch_size, self._np_rng)

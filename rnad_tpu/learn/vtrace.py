@@ -260,22 +260,32 @@ def apply_force_with_threshold(decision_outputs: jax.Array, force: jax.Array,
     return decision_outputs * jax.lax.stop_gradient(clipped)
 
 
-def renormalize(loss: jax.Array, mask: jax.Array) -> jax.Array:
+def renormalize(loss: jax.Array, mask: jax.Array,
+                global_sum=None) -> jax.Array:
+    """Masked mean.  ``global_sum`` (e.g. a psum over the data axis) makes
+    the normalization global when the batch is sharded over devices — the
+    per-shard valid counts differ, so a local mean followed by a cross-shard
+    mean would weight shards unevenly."""
     loss = (loss * mask).sum()
     n = mask.sum()
+    if global_sum is not None:
+        loss, n = global_sum(loss), global_sum(n)
     return loss / (n + (n == 0.0))
 
 
 def get_loss_v(v_list: Sequence[jax.Array],
                v_target_list: Sequence[jax.Array],
-               mask_list: Sequence[jax.Array]) -> jax.Array:
+               mask_list: Sequence[jax.Array],
+               global_sum=None) -> jax.Array:
     """Masked MSE critic loss against detached targets (vtrace.py:377-393)."""
     total = 0.0
     for v_n, v_target, mask in zip(v_list, v_target_list, mask_list):
         err = mask[..., None] * (
             v_n - jax.lax.stop_gradient(v_target)) ** 2
-        n = mask.sum()
-        total = total + err.sum() / (n + (n == 0.0))
+        err, n = err.sum(), mask.sum()
+        if global_sum is not None:
+            err, n = global_sum(err), global_sum(n)
+        total = total + err / (n + (n == 0.0))
     return total
 
 
@@ -287,7 +297,8 @@ def get_loss_nerd(logit_list: Sequence[jax.Array],
                   legal_actions: jax.Array,
                   importance_sampling_correction: Sequence[jax.Array],
                   clip: float = 100.0,
-                  threshold: float = 2.0) -> jax.Array:
+                  threshold: float = 2.0,
+                  global_sum=None) -> jax.Array:
     """NeuRD policy loss (vtrace.py:396-431)."""
     total = 0.0
     for k, (logit_pi, pi, q_vr, is_c) in enumerate(
@@ -303,5 +314,6 @@ def get_loss_nerd(logit_list: Sequence[jax.Array],
                 * apply_force_with_threshold(
                     logits, adv_pi, threshold,
                     jnp.zeros_like(logits))).sum(-1)
-        total = total - renormalize(nerd, valid * (player_ids == k))
+        total = total - renormalize(nerd, valid * (player_ids == k),
+                                    global_sum)
     return total

@@ -220,10 +220,15 @@ def joint_policy_from_net(tree: GameTree, apply_fn, variables,
 
 
 def kld(p: jax.Array, q: jax.Array, valid: jax.Array,
-        legal_actions: jax.Array) -> jax.Array:
-    """Masked KL divergence diagnostic (reference util/metric.py:193-211)."""
+        legal_actions: jax.Array, global_sum=None) -> jax.Array:
+    """Masked KL divergence diagnostic (reference util/metric.py:193-211).
+
+    ``global_sum`` (e.g. a psum over the data axis) makes the valid-count
+    normalization global when the batch is sharded over devices."""
     sel = (valid[..., None] * legal_actions) > 0
     safe = lambda x: jnp.log(jnp.maximum(x, 1e-30))
     terms = jnp.where(sel, p * (safe(p) - safe(q)), 0.0)
-    count = valid.sum()
-    return terms.sum() / jnp.maximum(count, 1.0)
+    total, count = terms.sum(), valid.sum()
+    if global_sum is not None:
+        total, count = global_sum(total), global_sum(count)
+    return total / jnp.maximum(count, 1.0)

@@ -5,10 +5,15 @@ local devices; ``jax.distributed.initialize`` wires the hosts into one global
 device set, after which the ('data', 'model') mesh spans the pod slice and
 GSPMD emits psum/all-gather collectives over ICI/DCN automatically.
 
-Determinism across host counts: all hosts share the run seed; the rollout key
-is replicated, and per-lane randomness comes from ``jax.random`` fold-ins on
-the globally-sharded lane tensors, so a 256k-lane run produces the same
-episodes regardless of how many hosts serve it.
+Determinism across device/host counts: all hosts share the run seed; the
+rollout key is replicated, and per-lane random bits are a pure function of
+(key, global lane position) under partitionable threefry — so a 256k-lane
+run samples the same episodes (bit-identical indices/actions/rewards)
+regardless of how many devices serve it, verified over data-axis sizes
+{1, 2, 4, 8} in tests/test_sharding.py::test_gspmd_mesh_size_invariance.
+The stored float behavior policy matches only to float tolerance (softmax
+reduction order depends on the compiled partitioning), so an action draw
+sitting exactly on a last-ulp argmax boundary could in principle differ.
 """
 
 from __future__ import annotations

@@ -3,14 +3,30 @@
 The default sharded path (parallel/runtime.py) lets GSPMD infer the gradient
 reduction from sharding annotations.  This module is the explicit-SPMD
 formulation of the same computation: each device runs the per-shard program
-on its slice of the lanes and the gradients/metrics are combined with a
-hand-placed ``jax.lax.psum`` over the data axis — the formulation to reach
-for when the automatic partitioner's choices need to be overridden (custom
-overlap, pipelining, or mixing in Pallas remote-DMA collectives).
+on its slice of the lanes and the loss normalizations / gradients / metrics
+are combined with hand-placed ``jax.lax.psum``/``pmax`` collectives over the
+data axis — the formulation to reach for when the automatic partitioner's
+choices need to be overridden (custom overlap, pipelining, or mixing in
+Pallas remote-DMA collectives).
 
-Numerically equivalent to the GSPMD path up to reduction order (verified in
-tests/test_sharding.py); the EMA/optimizer update runs replicated from the
-psum-reduced gradients, so parameters stay bitwise identical across devices.
+Numerical relationship to the GSPMD path, precisely:
+
+  * The **learner update given a fixed trajectory**
+    (:func:`make_shard_map_learn_step`) is equivalent to the unsharded
+    ``learn_fn`` up to float reduction order: every masked-mean inside the
+    loss psums its numerator and valid count across the axis before
+    dividing (``learn_loss(axis_name=...)``), and the per-shard gradients
+    are psum-combined — verified against the single-device update in
+    tests/test_sharding.py::test_shard_map_learn_matches_single_device.
+  * The **full fused step** (:func:`make_shard_map_train_step`) rolls out
+    *different episodes* than the GSPMD path by construction: the rollout
+    key is folded with the device's axis index (one independent stream per
+    shard), whereas the GSPMD path samples one global-batch stream.  Both
+    are unbiased samples of the same on-policy distribution; they are not
+    step-for-step identical.
+
+The EMA/optimizer update runs replicated from the psum-reduced gradients, so
+parameters stay bitwise identical across devices.
 """
 
 from __future__ import annotations
@@ -31,9 +47,56 @@ from ..ops import stepping
 from . import mesh as mesh_lib
 
 
+def _per_shard_learn(net, tx, cfg: RNaDConfig, packed,
+                     state: rnad_lib.TrainState, traj: engine.Trajectory,
+                     alpha: jax.Array):
+    """One learner update on this device's lane shard; loss normalizations
+    are global (psum inside learn_loss) and gradients are psum-combined, so
+    the update equals the unsharded one up to reduction order."""
+    aux = {k: v for k, v in state.variables.items() if k != "params"}
+    grad_fn = jax.value_and_grad(rnad_lib.learn_loss, has_aux=True)
+    (loss, (mutated, metrics)), grads = grad_fn(
+        state.variables["params"], aux, net, state.variables_target,
+        state.variables_reg, state.variables_reg_, packed, traj, alpha,
+        cfg, axis_name=mesh_lib.DATA_AXIS)
+
+    # EXPLICIT gradient reduction.  Under shard_map's unreplicated-AD
+    # convention (check_vma=False) the transpose of an in-loss psum is
+    # itself a psum, so each shard's grad is n_data x (its lanes'
+    # contribution to the globally-normalized loss); pmean cancels the
+    # factor and sums the contributions — exactly the unsharded gradient.
+    # Metrics come out of learn_loss already psum-combined (identical on
+    # every shard).
+    grads = jax.lax.pmean(grads, mesh_lib.DATA_AXIS)
+    metrics["gradient_norm"] = optax.global_norm(grads)
+
+    updates, opt_state = tx.update(grads, state.opt_state,
+                                   state.variables["params"])
+    params = optax.apply_updates(state.variables["params"], updates)
+    variables = dict(mutated, params=params)
+    for k, v in state.variables.items():
+        variables.setdefault(k, v)
+    g = cfg.gamma_averaging
+    variables_target = jax.tree.map(lambda p, t: g * p + (1.0 - g) * t,
+                                    variables, state.variables_target)
+    new_state = state.replace(
+        variables=variables, variables_target=variables_target,
+        opt_state=opt_state, total_steps=state.total_steps + 1)
+    return new_state, metrics
+
+
+def _traj_specs() -> engine.Trajectory:
+    """PartitionSpecs sharding a time-major Trajectory's lane axis."""
+    lane2 = P(None, mesh_lib.DATA_AXIS)
+    lane3 = P(None, mesh_lib.DATA_AXIS, None)
+    return engine.Trajectory(indices=lane2, policy=lane3, actions=lane2,
+                             rewards=lane2, values=lane2)
+
+
 def make_shard_map_train_step(net, tree: GameTree, cfg: RNaDConfig,
                               mesh: jax.sharding.Mesh):
-    """Returns train_step(state, alpha) running one explicit-SPMD update."""
+    """Returns train_step(state, alpha) running one explicit-SPMD update
+    (independent per-shard rollout streams; see module docstring)."""
     n_data = mesh.shape[mesh_lib.DATA_AXIS]
     if cfg.batch_size % n_data != 0:
         raise ValueError("batch_size must divide the data axis")
@@ -51,33 +114,9 @@ def make_shard_map_train_step(net, tree: GameTree, cfg: RNaDConfig,
         init = jnp.ones((local_batch,), jnp.int32)
         traj = engine.rollout_from(tree, actor_fn, state.variables, k_roll,
                                    init, tree.max_depth, packed)
-
-        aux = {k: v for k, v in state.variables.items() if k != "params"}
-        grad_fn = jax.value_and_grad(rnad_lib.learn_loss, has_aux=True)
-        (loss, (mutated, metrics)), grads = grad_fn(
-            state.variables["params"], aux, net, state.variables_target,
-            state.variables_reg, state.variables_reg_, packed, traj, alpha,
-            cfg)
-
-        # EXPLICIT gradient/metric reduction over the data axis.
-        grads = jax.lax.pmean(grads, mesh_lib.DATA_AXIS)
-        metrics = jax.lax.pmean(metrics, mesh_lib.DATA_AXIS)
-        metrics["gradient_norm"] = optax.global_norm(grads)
-
-        updates, opt_state = tx.update(grads, state.opt_state,
-                                       state.variables["params"])
-        params = optax.apply_updates(state.variables["params"], updates)
-        variables = dict(mutated, params=params)
-        for k, v in state.variables.items():
-            variables.setdefault(k, v)
-        g = cfg.gamma_averaging
-        variables_target = jax.tree.map(lambda p, t: g * p + (1.0 - g) * t,
-                                        variables, state.variables_target)
-        new_state = state.replace(
-            variables=variables, variables_target=variables_target,
-            opt_state=opt_state, key=key,
-            total_steps=state.total_steps + 1)
-        return new_state, metrics
+        new_state, metrics = _per_shard_learn(net, tx, cfg, packed,
+                                              state, traj, alpha)
+        return new_state.replace(key=key), metrics
 
     packed = stepping.make_packed_tables(tree)
     rep = P()
@@ -93,3 +132,33 @@ def make_shard_map_train_step(net, tree: GameTree, cfg: RNaDConfig,
         return jitted(tree, packed, state, jnp.float32(alpha))
 
     return train_step
+
+
+def make_shard_map_learn_step(net, tree: GameTree, cfg: RNaDConfig,
+                              mesh: jax.sharding.Mesh):
+    """Returns learn(state, traj, alpha): one explicit-SPMD learner update
+    on a given global trajectory, lane-sharded over the data axis.
+
+    This is the piece of the shard_map path that is numerically equivalent
+    to the unsharded ``learn_fn`` (up to reduction order) — the equivalence
+    test target, and the entry point for off-policy/buffered training under
+    explicit SPMD."""
+    tx = rnad_lib.make_optimizer(cfg)
+    packed = stepping.make_packed_tables(tree)
+    rep = P()
+
+    def per_shard(packed, state, traj, alpha):
+        return _per_shard_learn(net, tx, cfg, packed, state, traj, alpha)
+
+    shard_fn = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(rep, rep, _traj_specs(), rep),
+        out_specs=(rep, rep),
+        check_vma=False)
+    jitted = jax.jit(shard_fn)
+
+    def learn(state: rnad_lib.TrainState, traj: engine.Trajectory, alpha
+              ) -> Tuple[rnad_lib.TrainState, dict]:
+        return jitted(packed, state, traj, jnp.float32(alpha))
+
+    return learn

@@ -125,6 +125,55 @@ def test_buffered_offpolicy_path(small_tree):
     assert len(buf) == 2  # deque respects max size
 
 
+def test_buffer_exact_split_small_slots(small_tree):
+    """sample() must return exactly batch_size lanes even when the
+    multinomial allocates more lanes to a slot than it holds (the reference
+    asserts the exact split, episode.py:318) — and fall back to sampling
+    with replacement when the whole buffer is smaller than the batch."""
+    from rnad_tpu.learn.buffer import TrajectoryBuffer
+
+    cfg = small_cfg(batch_size=8)
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16))
+    _, rollout_jit, _, _ = rnad_lib.make_rnad_fns(net, small_tree, cfg)
+    state = rnad_lib.init_train_state(net, jax.random.PRNGKey(0), 3, cfg)
+    state, traj8 = rollout_jit(state)  # 8 lanes per slot
+    rng = np.random.default_rng(0)
+
+    buf = TrajectoryBuffer(4)
+    for _ in range(3):
+        buf.append(traj8)
+    for request in (3, 8, 20, 24):  # 20/24 force clipping+redistribution
+        sample = buf.sample(request, rng)
+        assert sample.batch_size == request
+
+    # whole buffer (24 lanes) smaller than the batch: replacement kicks in
+    sample = buf.sample(30, rng)
+    assert sample.batch_size == 30
+
+
+def test_offpolicy_resume_empty_buffer(tmp_path, small_tree):
+    """Resume at a total_steps not divisible by buffer_mod must roll out
+    before the first sample instead of crashing on an empty buffer (the
+    reference shares this crash; see learn/rnad.py host loop)."""
+    cfg = small_cfg(n_batches_per_buffer=2, buffer_mod=2, batch_size=32,
+                    bounds=(2,), delta_m=(2, 2))
+    ncfg = NetConfig(type="MLP", max_actions=3, width=16)
+    t1 = rnad_lib.RNaD(small_tree, cfg, ncfg, directory_name="offres",
+                       runs_root=str(tmp_path), seed=0)
+    t1.run(max_updates=1, checkpoint_mod=1, expl_mod=10**9, log_mod=10**9)
+    assert int(t1.state.total_steps) == 2
+    # checkpoints are written BEFORE each step, so the latest on disk is
+    # (m=0, n=1) with total_steps=1 — odd: 1 % buffer_mod != 0, the case
+    # that crashed on an empty buffer before the fix
+    assert t1.store.latest() == (0, 1)
+
+    t2 = rnad_lib.RNaD(small_tree, cfg, ncfg, directory_name="offres",
+                       runs_root=str(tmp_path), seed=0)
+    t2.run(max_updates=1, checkpoint_mod=10**9, expl_mod=10**9,
+           log_mod=10**9)
+    assert int(t2.state.total_steps) == 2  # resumed 1 -> 2 without crashing
+
+
 def test_alpha_schedule():
     assert rnad_lib.alpha_schedule(0, 100) == 0.0
     assert rnad_lib.alpha_schedule(25, 100) == 0.5

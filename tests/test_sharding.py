@@ -106,6 +106,77 @@ def test_trainer_class_sharded_end_to_end(tmp_path, small_tree):
 
 
 @requires_multidevice
+def test_shard_map_learn_matches_single_device(small_tree):
+    """The shard_map learner update on a FIXED trajectory must equal the
+    unsharded learn_fn up to reduction order: loss normalizations psum
+    numerators and valid counts globally, and gradients psum across shards
+    (the claim in parallel/shard_map_step.py's docstring)."""
+    from rnad_tpu.parallel import shard_map_step
+
+    cfg = RNaDConfig(batch_size=64, eta=0.2, bounds=(1,), delta_m=(2,),
+                     lr=1e-3, gamma_averaging=0.01, logit_clip=2.0)
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=32))
+    _, rollout_jit, learn_jit, _ = rnad_lib.make_rnad_fns(net, small_tree,
+                                                          cfg)
+    state0 = rnad_lib.init_train_state(net, jax.random.PRNGKey(0), 3, cfg)
+    _, traj = rollout_jit(state0)
+
+    state_a, metrics_a = learn_jit(state0, traj, jnp.float32(0.5))
+
+    mesh = mesh_lib.make_mesh()
+    learn_sm = shard_map_step.make_shard_map_learn_step(net, small_tree,
+                                                        cfg, mesh)
+    state_b, metrics_b = learn_sm(state0, traj, 0.5)
+
+    for k in metrics_a:
+        np.testing.assert_allclose(
+            float(metrics_a[k]), float(metrics_b[k]), rtol=2e-5, atol=1e-6,
+            err_msg=f"metric {k} diverges between shard_map and unsharded")
+    flat_a = jax.tree.leaves(state_a.variables["params"])
+    flat_b = jax.tree.leaves(state_b.variables["params"])
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+@requires_multidevice
+def test_gspmd_mesh_size_invariance(small_tree):
+    """Same seed, data-axis sizes {1, 2, 4, 8}: the GSPMD path must roll out
+    bit-identical trajectories (partitionable threefry: lane randomness is a
+    pure function of key and global position) and produce matching train
+    metrics — the determinism claim of parallel/runtime.py."""
+    cfg = RNaDConfig(batch_size=64, eta=0.2, bounds=(1,), delta_m=(2,),
+                     lr=1e-3, gamma_averaging=0.01, logit_clip=2.0)
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=32))
+
+    ref_traj = None
+    ref_metrics = None
+    for k in (1, 2, 4, 8):
+        mesh = mesh_lib.make_mesh(jax.devices()[:k])
+        (train_step, rollout_jit, _, _), mesh, place_state = \
+            runtime.make_sharded_rnad_fns(net, small_tree, cfg, mesh=mesh)
+        state = place_state(
+            rnad_lib.init_train_state(net, jax.random.PRNGKey(7), 3, cfg))
+        _, traj = rollout_jit(state)
+        state, metrics = train_step(state, jnp.float32(0.5))
+        if ref_traj is None:
+            ref_traj, ref_metrics = traj, metrics
+            continue
+        for field in ("indices", "actions", "rewards"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(traj, field)),
+                np.asarray(getattr(ref_traj, field)),
+                err_msg=f"{field} differs between mesh sizes 1 and {k}")
+        # the behavior policy is a softmax whose reduction order depends on
+        # the compiled partitioning: equal to float tolerance, not bitwise
+        np.testing.assert_allclose(
+            np.asarray(traj.policy), np.asarray(ref_traj.policy),
+            rtol=1e-6, atol=1e-7,
+            err_msg=f"policy differs between mesh sizes 1 and {k}")
+        np.testing.assert_allclose(float(metrics["loss"]),
+                                   float(ref_metrics["loss"]), rtol=1e-5)
+
+
+@requires_multidevice
 def test_shard_map_explicit_collectives(small_tree):
     """Explicit shard_map + psum data-parallel step: runs, stays finite, and
     parameters remain identical across devices after the update."""
