@@ -82,8 +82,10 @@ def main():
                else tree_lib.generate_tree)
         tree = gen(tree_cfg, seed=args.seed)
         tree_lib.assert_index_is_tree(tree)
-        checkpoint.save_tree(tree, args.name or "train_tree",
-                             config_json=tree_cfg.to_json())
+        import jax
+        if jax.process_index() == 0:  # run dir is shared across processes
+            checkpoint.save_tree(tree, args.name or "train_tree",
+                                 config_json=tree_cfg.to_json())
     logging.info("tree: size=%d depth=%d hash=%d", tree.size, tree.max_depth,
                  tree.hash)
 

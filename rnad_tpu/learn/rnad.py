@@ -35,6 +35,7 @@ from ..env.tree import GameTree
 from ..metrics import nashconv as nashconv_lib
 from ..models import common, nets
 from ..ops import stepping
+from ..parallel.mesh import host_value
 from . import vtrace
 from .buffer import TrajectoryBuffer
 
@@ -372,16 +373,21 @@ class RNaD:
     def initialize(self) -> None:
         if self.state is not None:
             return  # already initialized in this object's lifetime
+        # under multi-controller SPMD every process runs this same loop for
+        # the compute, but only process 0 touches the shared run directory
+        # (params/checkpoints/metrics); see docs/DISTRIBUTED.md
+        is_proc0 = jax.process_index() == 0
         resumed = False
         if not self.store.exists() or self.store.latest() is None:
             logging.info("initializing R-NaD run %s", self.store.name)
-            self.store.save_params({
-                "rnad": self.cfg.to_json(),
-                "net": self.net_config.to_json(),
-                "tree_hash": self.tree.hash,
-                "seed": self.seed,
-                "directory_name": self.store.name,
-            })
+            if is_proc0:
+                self.store.save_params({
+                    "rnad": self.cfg.to_json(),
+                    "net": self.net_config.to_json(),
+                    "tree_hash": self.tree.hash,
+                    "seed": self.seed,
+                    "directory_name": self.store.name,
+                })
             self.state = self._fresh_state()
             self.m, self.n = 0, 0
             self.save_checkpoint()
@@ -401,7 +407,8 @@ class RNaD:
                          self.m, self.n)
         if self.logger is None:
             self.logger = self._logger_cls(
-                directory=self.store.directory, use_wandb=self.use_wandb,
+                directory=self.store.directory if is_proc0 else None,
+                use_wandb=self.use_wandb and is_proc0,
                 run_name=self.store.name,
                 config={"rnad": self.cfg.to_json(),
                         "net": self.net_config.to_json()},
@@ -426,7 +433,7 @@ class RNaD:
         by_depth = nashconv_lib.mean_nashconv_by_depth(self.tree, result)
         for depth, val in by_depth.items():
             logging.info("depth:%d nashconv:%f", depth, val)
-        return float(result.nashconv())
+        return host_value(result.nashconv())
 
     # -- main loop ---------------------------------------------------------
 
@@ -438,7 +445,7 @@ class RNaD:
         buffer = TrajectoryBuffer(cfg.n_batches_per_buffer)
         import time as _time
         last_log_time = _time.perf_counter()
-        last_log_steps = int(self.state.total_steps)
+        last_log_steps = int(host_value(self.state.total_steps))
         last_log_steps_host = last_log_steps  # host mirror of total_steps
 
         for _ in range(max_updates):
@@ -451,7 +458,7 @@ class RNaD:
             if self.m % expl_mod == 0 and self.n == 0 and self.m != 0:
                 value = self.nashconv()
                 self.logger.log({"nashconv": value},
-                                int(self.state.total_steps))
+                                int(host_value(self.state.total_steps)))
 
             while self.n < delta_m:
                 alpha = alpha_schedule(self.n, delta_m)
@@ -479,7 +486,7 @@ class RNaD:
                 if self.n % log_mod == 0:
                     # blocking on the metrics here also attributes the wall
                     # clock of the async step pipeline correctly
-                    total = int(self.state.total_steps)
+                    total = int(host_value(self.state.total_steps))
                     now = _time.perf_counter()
                     dsteps = total - last_log_steps
                     if dsteps > 0:

@@ -157,8 +157,10 @@ def mean_nashconv_by_depth(tree: GameTree,
     """Per-depth mean exploitability (reference util/metric.py:178-190).
     Depth here is the longest distance to a terminal; the root has the
     maximum depth."""
+    from ..parallel.mesh import host_array
+
     depth = np.asarray(tree.depth)
-    total = np.asarray(result.row_best + result.col_best)
+    total = host_array(result.row_best + result.col_best)
     means: Dict[int, float] = {}
     for d in range(1, tree.max_depth + 1):
         sel = depth == d

@@ -29,6 +29,28 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def host_array(x) -> np.ndarray:
+    """Host numpy from an array that may span processes.
+
+    Under multi-controller SPMD an output can span devices this process
+    cannot address, so ``np.asarray`` raises.  Replicated arrays are read
+    from the local copy; sharded ones are all-gathered — a collective, so
+    every process must make the same call."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if x.is_fully_replicated:
+            return np.asarray(x.addressable_data(0))
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
+def host_value(x) -> float:
+    """Host float of a scalar that may be a cross-process replicated array."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return float(x.addressable_data(0))
+    return float(x)
+
+
 def make_mesh(devices: Optional[Sequence] = None,
               model_parallelism: int = 1) -> Mesh:
     """Builds a ('data', 'model') mesh over the given (default: all) devices."""

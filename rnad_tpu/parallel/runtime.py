@@ -29,6 +29,9 @@ from ..learn import rnad as rnad_lib
 from . import mesh as mesh_lib
 
 
+host_value = mesh_lib.host_value
+
+
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
                            process_id: Optional[int] = None) -> None:

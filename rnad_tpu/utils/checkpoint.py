@@ -72,6 +72,17 @@ def load_tree(name: str = "recent",
 # ---------------------------------------------------------------------------
 
 
+def _fetch_global(x):
+    """Host numpy from a leaf that may span processes (collective for
+    sharded leaves — every process must call this)."""
+    import jax
+
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from ..parallel.mesh import host_array
+        return host_array(x)
+    return x
+
+
 class RunStore:
     """Directory-backed store of one training run's config and checkpoints."""
 
@@ -96,7 +107,18 @@ class RunStore:
         return os.path.join(self.directory, str(m), f"{n}.ckpt")
 
     def save_checkpoint(self, m: int, n: int, state) -> str:
+        """Atomic write of one (m, n) checkpoint.
+
+        Multi-process safe: cross-process arrays are fetched to host on
+        EVERY process (sharded leaves need the all-gather collective to run
+        everywhere), then only process 0 touches the filesystem — the run
+        directory is shared on pods."""
+        import jax
+
         path = self.checkpoint_path(m, n)
+        state = jax.tree.map(_fetch_global, state)
+        if jax.process_index() != 0:
+            return path
         os.makedirs(os.path.dirname(path), exist_ok=True)
         data = serialization.to_bytes(state)
         tmp = path + ".tmp"

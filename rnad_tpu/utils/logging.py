@@ -16,6 +16,14 @@ import os
 from typing import Optional
 
 
+def _host_float(v) -> float:
+    """float(v) that also works on cross-process replicated jax arrays
+    (not fully addressable from one process; every process holds a copy)."""
+    if hasattr(v, "is_fully_addressable") and not v.is_fully_addressable:
+        return float(v.addressable_data(0))
+    return float(v)
+
+
 class MetricLogger:
     def __init__(self, directory: Optional[str] = None, use_wandb: bool = False,
                  run_name: Optional[str] = None, config: Optional[dict] = None,
@@ -40,7 +48,7 @@ class MetricLogger:
         record = {"step": int(step)}
         for k, v in metrics.items():
             try:
-                record[k] = float(v)
+                record[k] = _host_float(v)
             except (TypeError, ValueError):
                 record[k] = v
         if self._file is not None:
