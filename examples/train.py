@@ -31,6 +31,9 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     # tree
     p.add_argument("--load-tree", default=None)
+    p.add_argument("--load-reference-tree", default=None, metavar="PATH",
+                   help="import a reference-format tree.tar (torch.save of "
+                        "the saved_keys dict) and train on it")
     p.add_argument("--max-actions", type=int, default=3)
     p.add_argument("--max-transitions", type=int, default=2)
     p.add_argument("--tree-depth", type=int, default=4)
@@ -66,7 +69,9 @@ def main():
     runtime.initialize_distributed(args.coordinator, args.num_processes,
                                    args.process_id)
 
-    if args.load_tree:
+    if args.load_reference_tree:
+        tree = checkpoint.load_reference_tree(args.load_reference_tree)
+    elif args.load_tree:
         tree = checkpoint.load_tree(args.load_tree)
     else:
         depth_rule = (ShapingRule(delta=-1, stochastic_delta=-2,

@@ -279,6 +279,28 @@ def generate_tree_native(config: TreeConfig, seed: int = 0,
     )
 
 
+def depth_from_index(index: np.ndarray, chance: np.ndarray) -> np.ndarray:
+    """Longest distance to a terminal for every node, from the index tensor
+    alone (the reference does not persist a depth index).
+
+    Matches the generator's convention (see ``generate_tree``): children
+    reachable with zero chance probability do not count, every node is at
+    least depth 1, the absorbing node 0 is depth 0.  Child ids are strictly
+    greater than parent ids, so iterating the gather-max to a fixpoint
+    converges in max_depth passes.
+    """
+    index = np.asarray(index)
+    reachable = (index > 0) & (np.asarray(chance) > 0)
+    depth = np.zeros(index.shape[0], dtype=np.int64)
+    while True:
+        child = np.where(reachable, depth[index], 0)
+        new = 1 + child.max(axis=(1, 2, 3))
+        new[0] = 0
+        if np.array_equal(new, depth):
+            return depth
+        depth = new
+
+
 # ---------------------------------------------------------------------------
 # Invariants (reference tree.py:368-383)
 # ---------------------------------------------------------------------------

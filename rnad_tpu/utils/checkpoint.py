@@ -56,6 +56,51 @@ def save_tree(tree: tree_lib.GameTree, name: Optional[str] = None,
     return os.path.join(root, name)
 
 
+def load_reference_tree(path: str) -> tree_lib.GameTree:
+    """Imports a tree saved by the reference implementation.
+
+    The reference persists ``torch.save`` of its ``saved_keys`` dict as
+    ``saved_trees/<name>/tree.tar`` (reference environment/tree.py:385-433):
+    the seven game tensors plus scalars (max_actions, max_transitions, the
+    random identity hash, desc).  Tensor layout conventions are identical by
+    design (see tools/validate_vs_reference.py), so the import is a dtype
+    cast plus a recomputation of the depth index, which the reference does
+    not store.
+
+    ``path`` may be the ``tree.tar`` file itself or its directory.
+    """
+    import torch
+
+    if os.path.isdir(path):
+        path = os.path.join(path, "tree.tar")
+    saved = torch.load(path, map_location="cpu", weights_only=False)
+
+    def arr(key, dtype):
+        return np.asarray(saved[key].detach().cpu().numpy(), dtype=dtype)
+
+    import jax.numpy as jnp
+
+    index = arr("index_tensor", np.int32)
+    chance = arr("chance_tensor", np.float32)
+    depth = tree_lib.depth_from_index(index, chance)
+    tree = tree_lib.GameTree(
+        index=jnp.asarray(index),
+        value=jnp.asarray(arr("value_tensor", np.float32)),
+        chance=jnp.asarray(chance),
+        expected_value=jnp.asarray(arr("expected_value_tensor", np.float32)),
+        legal=jnp.asarray(arr("legal_tensor", np.float32)),
+        solution=jnp.asarray(arr("solution_tensor", np.float32)),
+        root_value=jnp.asarray(arr("root_value_tensor", np.float32)),
+        depth=jnp.asarray(depth, dtype=jnp.int32),
+        max_actions=int(saved["max_actions"]),
+        max_transitions=int(saved["max_transitions"]),
+        max_depth=int(depth[1]),
+        hash=int(saved["hash"]),
+    )
+    tree_lib.assert_index_is_tree(tree)
+    return tree
+
+
 def load_tree(name: str = "recent",
               root: Optional[str] = None) -> tree_lib.GameTree:
     root = root or _default_root("saved_trees")
