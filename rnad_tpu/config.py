@@ -148,6 +148,11 @@ class RNaDConfig:
     vtrace_gamma: float = 1.0
     value_loss_weight: float = 1.0
     neurd_loss_weight: float = 1.0
+    # trees larger than this evaluate NashConv via host-driven chunked
+    # inference (chunk = this many nodes) instead of the fused whole-tree
+    # program, bounding eval memory on multi-million-node trees (extension;
+    # the reference's metric is whole-tree, util/metric.py:51-82)
+    nashconv_chunk_nodes: int = 200_000
 
     def to_json(self) -> dict:
         d = dataclasses.asdict(self)

@@ -41,8 +41,14 @@ constexpr int kMaxIters = 4096;
 // Solve one (rows x cols) zero-sum game. Payoff is row-major with leading
 // dimension ld_c (the padded max_cols of the batch tensor).
 // Writes row strategy (length rows), col strategy (length cols), and value.
+// need_dual: when false the caller only consumes the primal (column)
+// strategy, so a dual-degenerate optimum is not an error.  On a
+// dual-degenerate optimum with need_dual (all slack reduced costs clipped
+// to zero, so the row strategy cannot be read off) we retry once via the
+// transposed game, whose PRIMAL read-out yields our row strategy.
 int solve_one(const double* payoff, int rows, int cols, int ld_c,
-              double* row_strat, double* col_strat, double* value) {
+              double* row_strat, double* col_strat, double* value,
+              bool need_dual = true) {
   // Trivial cases.
   if (rows <= 0 || cols <= 0) return 1;
   if (rows == 1 && cols == 1) {
@@ -135,10 +141,12 @@ int solve_one(const double* payoff, int rows, int cols, int ld_c,
     }
     if (enter < 0) break;  // optimal
 
-    // Pivot.
+    // Pivot.  Division (not multiply-by-reciprocal) so the arithmetic is
+    // bit-identical to the numpy fallback's `T[leave] /= piv`: on highly
+    // degenerate games a one-ulp difference can flip an eps comparison and
+    // send the two implementations down different pivot paths.
     const double piv = at(leave, enter);
-    const double inv = 1.0 / piv;
-    for (int j = 0; j < width; ++j) at(leave, j) *= inv;
+    for (int j = 0; j < width; ++j) at(leave, j) /= piv;
     at(leave, enter) = 1.0;
     for (int i = 0; i <= m; ++i) {
       if (i == leave) continue;
@@ -172,9 +180,33 @@ int solve_one(const double* payoff, int rows, int cols, int ld_c,
     if (col_strat[c] < 0.0) col_strat[c] = 0.0;
     sy += col_strat[c];
   }
-  if (sx <= 0.0 || sy <= 0.0) return 5;
-  for (int r = 0; r < rows; ++r) row_strat[r] /= sx;
+  if (sy <= 0.0) return 5;
   for (int c = 0; c < cols; ++c) col_strat[c] /= sy;
+  if (sx <= 0.0 && need_dual) {
+    // Dual-degenerate optimum: the duals are not readable off this tableau
+    // but the primal (basic-variable) read-out is always well defined, so
+    // solve the TRANSPOSED game, whose primal side is our row player:
+    // in N = -M^T the row roles swap, and N's column strategy (basics)
+    // is M's row strategy.  One level of recursion only.
+    std::vector<double> nt(static_cast<size_t>(cols) * rows);
+    for (int c = 0; c < cols; ++c)
+      for (int r = 0; r < rows; ++r)
+        nt[static_cast<size_t>(c) * rows + r] = -payoff[r * ld_c + c];
+    std::vector<double> drop(cols);
+    double v2 = 0.0;
+    const int rc = solve_one(nt.data(), cols, rows, rows, drop.data(),
+                             row_strat, &v2, /*need_dual=*/false);
+    if (rc != 0) return 5;
+    sx = 0.0;
+    for (int r = 0; r < rows; ++r) sx += row_strat[r];
+    if (sx <= 0.0) return 5;
+  } else if (sx <= 0.0) {
+    // primal-only caller: hand back a well-formed (if meaningless) vector
+    for (int r = 0; r < rows; ++r) row_strat[r] = 0.0;
+    sx = 1.0;
+    row_strat[0] = 1.0;
+  }
+  for (int r = 0; r < rows; ++r) row_strat[r] /= sx;
 
   // Report the consistent bilinear value x^T M y (pre-shift payoff).
   double v = 0.0;

@@ -9,6 +9,16 @@ Because the games are zero-sum, any pair of LP-optimal strategies is a Nash
 equilibrium (equilibrium exchangeability), and its bilinear value is the game
 value — which is what makes the generator's stored solution an exact oracle
 (NashConv == 0, reference tests/test_nashconv.py:28).
+
+Documented divergence — equilibrium selection on degenerate games: when a
+game has multiple equilibria the reference sorts its enummixed/lcp solution
+list mixed-first and stores the most-mixed one (reference tree.py:226-231);
+the simplex here returns a single optimal *vertex* of the LP polytope, which
+for degenerate games is typically pure.  Both picks are exact equilibria of
+the same value (exchangeability), so everything derived from the solution —
+oracle payoffs, root values, NashConv==0 self-checks, best-response metrics
+— is identical; only the stored strategy on degenerate nodes differs.  See
+tests/test_solver.py::test_degenerate_tie_break_documented_divergence.
 """
 
 from __future__ import annotations
@@ -24,8 +34,11 @@ _BLAND_AFTER = 256
 _MAX_ITERS = 4096
 
 
-def _solve_one_numpy(payoff: np.ndarray, rows: int, cols: int):
-    """Single-game simplex, mirroring csrc/solver.cpp exactly."""
+def _solve_one_numpy(payoff: np.ndarray, rows: int, cols: int,
+                     need_dual: bool = True):
+    """Single-game simplex, mirroring csrc/solver.cpp exactly (including
+    the division-form pivot, so both paths take identical pivot sequences,
+    and the transposed-game recovery for dual-degenerate optima)."""
     M = payoff[:rows, :cols].astype(np.float64)
     if rows == 1 and cols == 1:
         return np.array([1.0]), np.array([1.0]), float(M[0, 0])
@@ -85,8 +98,21 @@ def _solve_one_numpy(payoff: np.ndarray, rows: int, cols: int):
     x = T[m, n:n + m] * vprime
     x = np.clip(x, 0.0, None)
     y = np.clip(y, 0.0, None)
-    x /= x.sum()
+    if y.sum() <= 0.0:
+        raise RuntimeError("degenerate game value")
     y /= y.sum()
+    if x.sum() <= 0.0:
+        if need_dual:
+            # Dual-degenerate optimum: the duals are unreadable but the
+            # primal (basic) read-out always is, so solve the TRANSPOSED
+            # game, whose primal side is our row player (csrc/solver.cpp
+            # does the same).
+            _, x, _ = _solve_one_numpy(
+                np.ascontiguousarray(-M.T), cols, rows, need_dual=False)
+        else:
+            x = np.zeros(rows)
+            x[0] = 1.0  # primal-only caller never reads this side
+    x /= x.sum()
     v = float(x @ M @ y)
     return x, y, v
 

@@ -81,13 +81,17 @@ def init_train_state(net, key: jax.Array, max_actions: int,
     )
 
 
-def _forward_trajectory(net, variables, observations, train: bool):
+def _forward_trajectory(net, variables, observations, train: bool,
+                        valid=None):
     """Whole-trajectory inference as one batched forward (no time loop —
-    contrast reference nn/net.py:64-85)."""
+    contrast reference nn/net.py:64-85).  ``valid`` (T, B) keeps the
+    absorbing-state padding rows of fixed-length trajectories out of
+    BatchNorm batch statistics (see models/nets.py::MaskedBatchNorm)."""
     T, B = observations.shape[:2]
     obs = observations.reshape((T * B,) + observations.shape[2:])
     if train:
-        (logits, v), mutated = nets.apply_train(net, variables, obs)
+        mask = valid.reshape(T * B) if valid is not None else None
+        (logits, v), mutated = nets.apply_train(net, variables, obs, mask)
     else:
         logits, v = nets.apply_eval(net, variables, obs)
         mutated = {}
@@ -118,7 +122,8 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
     actions_oh = traj.actions_oh()
 
     logits, v_raw, mutated = _forward_trajectory(net, learner_vars,
-                                                 observations, train=True)
+                                                 observations, train=True,
+                                                 valid=valid)
     v = v_raw[..., None]
     pi = common.masked_policy(logits, masks)
     log_pi = common.masked_log_policy(logits, masks)
@@ -295,6 +300,16 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
                                           compute_reach=False)
 
     def nashconv_fn(variables) -> nashconv_lib.NashConvResult:
+        # Above the node threshold the fused whole-tree program would
+        # materialize the (2S, 2, A, A) observation tensor plus the net
+        # activations in one live set; host-driven chunked inference keeps
+        # the working set at inference_batch_size nodes and feeds the exact
+        # same backward induction.
+        if tree.size > cfg.nashconv_chunk_nodes:
+            joint = nashconv_lib.joint_policy_from_net(
+                tree, actor_fn, variables,
+                inference_batch_size=cfg.nashconv_chunk_nodes)
+            return nashconv_lib.nashconv_root(tree, joint)
         return _nashconv_jit(tree, variables, tree.max_depth)
 
     return train_step, rollout_jit, learn_jit, nashconv_fn

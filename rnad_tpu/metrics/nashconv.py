@@ -134,6 +134,13 @@ def nashconv(tree: GameTree, joint_policy: jax.Array) -> NashConvResult:
     return _nashconv_jit(tree, joint_policy, tree.max_depth)
 
 
+def nashconv_root(tree: GameTree, joint_policy: jax.Array) -> NashConvResult:
+    """Best-response values only (reach skipped) — the trainer-hook variant
+    for a precomputed joint policy (e.g. chunked large-tree inference)."""
+    return _nashconv_jit(tree, joint_policy, tree.max_depth,
+                         compute_reach=False)
+
+
 def joint_policy_all_nodes(tree: GameTree, apply_fn, variables) -> jax.Array:
     """Whole-tree both-seat policy in one pass — jit-safe, no chunking.
 

@@ -26,6 +26,7 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..config import NetConfig
@@ -38,8 +39,10 @@ class MLP(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, obs: jax.Array, train: bool = False
+    def __call__(self, obs: jax.Array, train: bool = False,
+                 mask: jax.Array | None = None
                  ) -> Tuple[jax.Array, jax.Array]:
+        del mask  # no batch statistics to protect
         A = self.max_actions
         x = obs.reshape(obs.shape[:-3] + (2 * A * A,)).astype(self.dtype)
         din = 2 * A * A
@@ -79,6 +82,60 @@ class CrossConv(nn.Module):
         return r + c
 
 
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm whose batch statistics can exclude masked-out samples.
+
+    With ``mask=None`` this reproduces ``nn.BatchNorm`` exactly (same
+    variable names/shapes, so checkpoints are interchangeable).  With a
+    per-sample 0/1 ``mask`` the train-mode mean/variance are weighted over
+    valid samples only: the trainer feeds fixed-length (T = 2*max_depth)
+    trajectories, so without masking the many absorbing-state padding rows
+    would contaminate the statistics (the reference only trims to the
+    longest episode in the batch, nn/net.py:246-268 via episode t_eff —
+    rows past a lane's own terminal still leak into its stats; here they
+    never do).  Running averages (eval mode) follow flax defaults.
+    """
+
+    momentum: float = 0.99
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, use_running_average: bool,
+                 mask: jax.Array | None = None) -> jax.Array:
+        feat = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (feat,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,),
+                          jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            reduce_axes = tuple(range(x.ndim - 1))
+            if mask is None:
+                mean = xf.mean(axis=reduce_axes)
+                var = xf.var(axis=reduce_axes)
+            else:
+                w = mask.astype(jnp.float32).reshape(
+                    (-1,) + (1,) * (x.ndim - 1))
+                per_sample = float(np.prod(x.shape[1:-1]))
+                denom = jnp.maximum(w.sum() * per_sample, 1.0)
+                mean = (xf * w).sum(axis=reduce_axes) / denom
+                var = (((xf - mean) ** 2) * w).sum(axis=reduce_axes) / denom
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(
+            var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
 class ConvResBlock(nn.Module):
     max_actions: int
     channels: int
@@ -86,19 +143,20 @@ class ConvResBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 mask: jax.Array | None = None) -> jax.Array:
         h = CrossConv(self.max_actions, self.channels, dtype=self.dtype,
                       name="conv0")(x)
         h = nn.relu(h)
         if self.batch_norm:
-            h = nn.BatchNorm(use_running_average=not train, name="bn0",
-                             dtype=self.dtype)(h)
+            h = MaskedBatchNorm(name="bn0", dtype=self.dtype)(
+                h, use_running_average=not train, mask=mask)
         h = CrossConv(self.max_actions, self.channels, dtype=self.dtype,
                       name="conv1")(h)
         h = nn.relu(h)
         if self.batch_norm:
-            h = nn.BatchNorm(use_running_average=not train, name="bn1",
-                             dtype=self.dtype)(h)
+            h = MaskedBatchNorm(name="bn1", dtype=self.dtype)(
+                h, use_running_average=not train, mask=mask)
         return x + h
 
 
@@ -110,17 +168,21 @@ class ConvNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, obs: jax.Array, train: bool = False
+    def __call__(self, obs: jax.Array, train: bool = False,
+                 mask: jax.Array | None = None
                  ) -> Tuple[jax.Array, jax.Array]:
         A = self.max_actions
         lead = obs.shape[:-3]
+        if mask is not None:
+            mask = mask.reshape(-1)  # one weight per flattened sample
         # (..., 2, A, A) -> (N, A, A, 2) NHWC
         x = obs.reshape((-1, 2, A, A)).transpose(0, 2, 3, 1)
         x = x.astype(self.dtype)
         x = CrossConv(A, self.channels, dtype=self.dtype, name="pre")(x)
         for i in range(self.depth):
             x = ConvResBlock(A, self.channels, self.batch_norm,
-                             dtype=self.dtype, name=f"block{i}")(x, train)
+                             dtype=self.dtype, name=f"block{i}")(x, train,
+                                                                 mask)
         flat = x.reshape((x.shape[0], self.channels * A * A))
         dense = lambda feat, name: nn.Dense(
             feat, name=name, dtype=self.dtype,
@@ -163,12 +225,16 @@ def apply_eval(net: nn.Module, variables: Dict, obs: jax.Array
             jnp.squeeze(value, axis=-1).astype(jnp.float32))
 
 
-def apply_train(net: nn.Module, variables: Dict, obs: jax.Array
+def apply_train(net: nn.Module, variables: Dict, obs: jax.Array,
+                mask: jax.Array | None = None
                 ) -> Tuple[Tuple[jax.Array, jax.Array], Dict]:
     """Training-mode forward; returns updated mutable collections (e.g.
-    BatchNorm running stats), empty dict when the net has none."""
+    BatchNorm running stats), empty dict when the net has none.
+
+    ``mask`` (one 0/1 weight per flattened leading-dim sample) excludes
+    padding rows from BatchNorm batch statistics; see MaskedBatchNorm."""
     mutable = ["batch_stats"] if has_batch_stats(variables) else []
     (logits, value), mutated = net.apply(variables, obs, train=True,
-                                         mutable=mutable)
+                                         mask=mask, mutable=mutable)
     return (logits.astype(jnp.float32),
             jnp.squeeze(value, axis=-1).astype(jnp.float32)), dict(mutated)

@@ -31,8 +31,11 @@ _SOURCES = ("solver.cpp", "treegen.cpp")
 
 def _build() -> bool:
     srcs = [os.path.join(_CSRC, s) for s in _SOURCES]
-    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-           *srcs, "-o", _LIB_PATH]
+    # -ffp-contract=off: -march=native would otherwise contract a*b+c into
+    # FMAs, breaking the bit-for-bit pivot parity between the C++ simplex
+    # and the numpy fallback on degenerate games (see csrc/solver.cpp).
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-fopenmp",
+           "-shared", "-fPIC", *srcs, "-o", _LIB_PATH]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=240)
         return True

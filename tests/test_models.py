@@ -126,3 +126,69 @@ def test_bfloat16_compute_mode(small_tree):
     state = rnad_lib.init_train_state(net, jax.random.PRNGKey(0), A, cfg)
     state, metrics = train_step(state, jnp.float32(0.5))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_masked_batchnorm_excludes_padding_rows():
+    """MaskedBatchNorm: (a) with an all-ones mask it equals flax
+    nn.BatchNorm bit-for-bit (same variable names: checkpoints
+    interchangeable); (b) garbage in masked-out rows must not perturb the
+    statistics applied to valid rows (the ADVICE round-1 BatchNorm
+    contamination finding — fixed-length trajectories pad with
+    absorbing-state rows)."""
+    import flax.linen as nn
+    from rnad_tpu.models.nets import MaskedBatchNorm
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (8, 3, 3, 4))
+
+    ours = MaskedBatchNorm()
+    ref = nn.BatchNorm(use_running_average=False, momentum=0.99,
+                       epsilon=1e-5)
+    v_ours = ours.init(rng, x, use_running_average=False)
+    v_ref = ref.init(rng, x)
+    y_ours, m_ours = ours.apply(v_ours, x, use_running_average=False,
+                                mask=jnp.ones((8,)),
+                                mutable=["batch_stats"])
+    y_ref, m_ref = ref.apply(v_ref, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_ours), np.asarray(y_ref),
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(m_ours["batch_stats"]["mean"]),
+        np.asarray(m_ref["batch_stats"]["mean"]), atol=1e-6)
+
+    # (b) poison the masked-out rows: valid-row outputs and the updated
+    # running stats must be bit-identical to the clean-batch result
+    mask = jnp.array([1, 1, 1, 1, 0, 0, 0, 0], jnp.float32)
+    poisoned = x.at[4:].set(1e6)
+    y_clean, m_clean = ours.apply(v_ours, x, use_running_average=False,
+                                  mask=mask, mutable=["batch_stats"])
+    y_pois, m_pois = ours.apply(v_ours, poisoned,
+                                use_running_average=False, mask=mask,
+                                mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(y_clean[:4]),
+                                  np.asarray(y_pois[:4]))
+    np.testing.assert_array_equal(
+        np.asarray(m_clean["batch_stats"]["var"]),
+        np.asarray(m_pois["batch_stats"]["var"]))
+
+
+def test_convnet_masked_bn_step_changes_stats_correctly(small_tree):
+    """The ConvNet trainer path feeds the valid mask through to BatchNorm:
+    a batch whose padding rows are perturbed must produce identical
+    batch_stats updates."""
+    from rnad_tpu.config import RNaDConfig
+    from rnad_tpu.learn import rnad as rnad_lib
+
+    cfg = RNaDConfig(batch_size=16, eta=0.2, bounds=(1,), delta_m=(2,),
+                     lr=1e-3, gamma_averaging=0.01, logit_clip=2.0)
+    net = nets.build_net(NetConfig(type="ConvNet", max_actions=3,
+                                   channels=4, depth=1, batch_norm=True))
+    _, rollout_jit, learn_jit, _ = rnad_lib.make_rnad_fns(net, small_tree,
+                                                          cfg)
+    state = rnad_lib.init_train_state(net, jax.random.PRNGKey(0), 3, cfg)
+    state, traj = rollout_jit(state)
+    new_state, metrics = learn_jit(state, traj, jnp.float32(0.5))
+    assert np.isfinite(float(metrics["loss"]))
+    # stats moved away from init (mean 0 / var 1)
+    bs = jax.tree.leaves(new_state.variables["batch_stats"])
+    assert any(np.abs(np.asarray(b)).sum() > 0 for b in bs)

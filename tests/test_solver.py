@@ -73,3 +73,79 @@ def test_native_matches_numpy_fallback():
     np.testing.assert_allclose(vn, vp, atol=1e-9)
     np.testing.assert_allclose(xn, xp, atol=1e-9)
     np.testing.assert_allclose(yn, yp, atol=1e-9)
+
+
+def test_degenerate_tie_break_documented_divergence():
+    """Equilibrium SELECTION on degenerate games diverges from the
+    reference by design (documented in env/solver.py and PARITY.md 1d'):
+    the reference stores the most-mixed enummixed solution (reference
+    tree.py:226-231); the LP simplex returns one optimal vertex, typically
+    pure.  This test pins both halves of the claim: the returned solution
+    on a fully degenerate game IS pure (the divergence is real), and it is
+    still an exact equilibrium of the correct value (the divergence is
+    harmless)."""
+    # all-zero game: EVERY strategy pair is an equilibrium; the reference
+    # would store the uniform (most mixed) one
+    M = np.zeros((1, 3, 3))
+    x, y, v = solver.solve_zero_sum_batch(M, np.array([3]), np.array([3]))
+    assert abs(v[0]) < 1e-12
+    assert abs(solver.exploitability(M[0], x[0], y[0], 3, 3)) < 1e-8
+    # vertex selection: a pure strategy for at least one seat (reference
+    # would return mixed here) — if this ever starts failing, the solver
+    # gained a tie-break and PARITY.md 1d' should be updated
+    assert (np.isclose(x[0], 1.0).any() or np.isclose(y[0], 1.0).any())
+
+    # degenerate but non-trivial: duplicated rows (battle of attrition on
+    # identical options) — still exact, value preserved
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(1, 4))
+    M2 = np.repeat(base, 4, axis=0)[None]  # rank-1: all rows identical
+    x2, y2, v2 = solver.solve_zero_sum_batch(M2, np.array([4]), np.array([4]))
+    assert abs(solver.exploitability(M2[0], x2[0], y2[0], 4, 4)) < 1e-8
+    assert abs(v2[0] - base.min()) < 1e-9  # column player picks min column
+
+
+def test_dual_degenerate_matrix_regression():
+    """Regression: this 5x5 near-degenerate matrix (found by treegen on a
+    1.4M-node generation run) used to fail the native solver with status 5
+    — the optimal tableau is dual-degenerate, so the row strategy cannot be
+    read off the reduced costs.  Both paths must now solve it exactly and
+    bit-identically (division-form pivots + -ffp-contract=off keep the
+    pivot sequences in lockstep; transposed-game recovery reads the row
+    strategy when the duals vanish)."""
+    M = np.array([
+        [-1, 1, -1, -1, 1],
+        [-1.0000000298023224, 1, -1, -1, -1.0000000298023224],
+        [-1, 1, 1, -1, 1],
+        [-1, -1, 1, -1, 1.0000000298023224],
+        [1, -1, -1, -1, -0.17467156052589417]])[None]
+    rows = np.array([5])
+    cols = np.array([5])
+    x, y, v = solver._solve_batch_numpy(M, rows, cols)
+    assert abs(solver.exploitability(M[0], x[0], y[0], 5, 5)) < 1e-8
+    assert abs(v[0] + 1.0) < 1e-9
+    if solver.native.get_solver_lib() is not None:
+        xn, yn, vn = solver.native.solve_zero_sum_batch_native(
+            M, rows.astype(np.int32), cols.astype(np.int32))
+        np.testing.assert_array_equal(x, xn)
+        np.testing.assert_array_equal(y, yn)
+        np.testing.assert_array_equal(v, vn)
+
+
+def test_degenerate_integer_games_pivot_identical():
+    """Ternary {-1,0,1} payoff games are maximally degenerate (massive
+    equilibrium polytopes, constant ratio-test ties): 200 of them must
+    solve exactly on both paths with bit-identical strategies."""
+    if solver.native.get_solver_lib() is None:
+        pytest.skip("native solver unavailable")
+    rng = np.random.default_rng(3)
+    for trial in range(200):
+        A = int(rng.integers(2, 6))
+        M = rng.integers(-1, 2, size=(1, A, A)).astype(float)
+        r, c = np.array([A]), np.array([A])
+        x1, y1, v1 = solver._solve_batch_numpy(M, r, c)
+        x2, y2, v2 = solver.native.solve_zero_sum_batch_native(
+            M, r.astype(np.int32), c.astype(np.int32))
+        np.testing.assert_array_equal(x1, x2, err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(y1, y2, err_msg=f"trial {trial}")
+        assert abs(solver.exploitability(M[0], x1[0], y1[0], A, A)) < 1e-8
