@@ -51,6 +51,12 @@ def main():
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--compute-dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--n-batches-per-buffer", type=int, default=1,
+                   help="replay-buffer capacity in rollout batches; 1 = "
+                        "on-policy (reference episode.py:292-334)")
+    p.add_argument("--buffer-mod", type=int, default=1,
+                   help="roll out a fresh batch every this many learner "
+                        "steps (off-policy ratio)")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard lanes over all local devices")
     p.add_argument("--coordinator", default=None)
@@ -94,13 +100,16 @@ def main():
     logging.info("tree: size=%d depth=%d hash=%d", tree.size, tree.max_depth,
                  tree.hash)
 
+    buffer_kw = dict(n_batches_per_buffer=args.n_batches_per_buffer,
+                     buffer_mod=args.buffer_mod)
     if args.demo:
         cfg = RNaDConfig(batch_size=512, eta=args.eta, bounds=(64,),
                          delta_m=(100,), lr=1e-3, gamma_averaging=0.01,
-                         logit_clip=2.0)
+                         logit_clip=2.0, **buffer_kw)
     else:
         # DeepNash paper schedule (reference rnad.py:40-64 defaults)
-        cfg = RNaDConfig(batch_size=args.batch_size, eta=args.eta)
+        cfg = RNaDConfig(batch_size=args.batch_size, eta=args.eta,
+                         **buffer_kw)
 
     net_cfg = NetConfig(type=args.net, max_actions=tree.max_actions,
                         width=args.width, compute_dtype=args.compute_dtype)

@@ -153,6 +153,12 @@ class RNaDConfig:
     # program, bounding eval memory on multi-million-node trees (extension;
     # the reference's metric is whole-tree, util/metric.py:51-82)
     nashconv_chunk_nodes: int = 200_000
+    # dtype of the 3 frozen-net forwards in the learner (EMA target +
+    # regularization pair): "bfloat16" halves their HBM traffic and doubles
+    # their MXU rate; the v-trace targets they feed are gradient-free, so
+    # only the reward-transform/target precision changes, not the gradient
+    # path.  float32 matches the reference bit-for-bit.
+    frozen_net_dtype: str = "float32"
 
     def to_json(self) -> dict:
         d = dataclasses.asdict(self)

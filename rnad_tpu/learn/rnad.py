@@ -134,13 +134,18 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
     # Frozen nets: EMA target for values, regularization pair for the
     # R-NaD transform (reference rnad.py:377-382).  All three share the
     # architecture, so their forwards run as ONE vmapped batched matmul
-    # instead of three separate passes over (T*B) observations.
+    # instead of three separate passes over (T*B) observations; optionally
+    # in bfloat16 (cfg.frozen_net_dtype) — they are gradient-free inputs to
+    # the v-trace targets, so the learner's gradient path stays f32.
     T, B = traj.rewards.shape
     obs_flat = observations.reshape((T * B,) + observations.shape[2:])
+    frozen_net = net
+    if cfg.frozen_net_dtype != "float32":
+        frozen_net = net.clone(dtype=jnp.dtype(cfg.frozen_net_dtype))
     frozen = jax.tree.map(lambda a, b, c: jnp.stack([a, b, c]),
                           target_vars, reg_vars, reg_prev_vars)
     logits3, values3 = jax.vmap(
-        lambda v: nets.apply_eval(net, v, obs_flat))(frozen)
+        lambda v: nets.apply_eval(frozen_net, v, obs_flat))(frozen)
     A = traj.policy.shape[-1]
     logits_t = logits3[0].reshape(T, B, A)
     pi_target = common.masked_policy(logits_t, masks)

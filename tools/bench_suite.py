@@ -65,6 +65,7 @@ def main():
                         default="gather")
     args = parser.parse_args()
 
+    from tools import roofline
     from rnad_tpu.config import (NetConfig, RNaDConfig, ShapingRule,
                                  TreeConfig)
     from rnad_tpu.env import engine, tree as tree_lib
@@ -134,7 +135,10 @@ def main():
         t0 = time.perf_counter()
         np.asarray(roll_many(tree, packed, variables, jax.random.PRNGKey(2)))
         dt = (time.perf_counter() - t0) / roll_iters
-        emit("rollout_env_steps_per_s", T * B / dt, "steps/s", batch=B)
+        rmodel = roofline.rollout_model(A, tree.max_transitions,
+                                        tree.max_depth, B, net.width)
+        emit("rollout_env_steps_per_s", T * B / dt, "steps/s", batch=B,
+             **roofline.annotate(rmodel, dt))
 
         cfg = RNaDConfig(batch_size=B, eta=0.2, bounds=(1,), delta_m=(1,),
                          lr=1e-3, gamma_averaging=0.01, logit_clip=2.0)
@@ -157,8 +161,12 @@ def main():
         losses = np.asarray(train_many(tree, packed, state))
         dt = (time.perf_counter() - t0) / train_iters
         assert np.isfinite(losses).all()
-        emit("train_steps_per_s", 1.0 / dt, "updates/s", batch=B)
-        emit("train_env_steps_per_s", T * B / dt, "steps/s", batch=B)
+        tmodel = roofline.train_model(A, tree.max_transitions,
+                                      tree.max_depth, B, net.width)
+        troof = roofline.annotate(tmodel, dt)
+        emit("train_steps_per_s", 1.0 / dt, "updates/s", batch=B, **troof)
+        emit("train_env_steps_per_s", T * B / dt, "steps/s", batch=B,
+             **troof)
         del state, train_step, train_many  # release before next config
         import gc
 
@@ -173,11 +181,18 @@ def main():
         os.makedirs("docs", exist_ok=True)
         with open("docs/PERF.md", "w") as f:
             f.write(f"# Performance ({dev.device_kind}, 1 chip)\n\n"
-                    "Generated by tools/bench_suite.py.\n\n"
-                    "| metric | batch | value | unit |\n|---|---|---|---|\n")
+                    "Generated by tools/bench_suite.py.  `%roof` is the "
+                    "analytic speed-of-light bound of tools/roofline.py "
+                    "(max of HBM-bytes time and MXU-FLOPs time for the "
+                    "unavoidable work) divided by the measured time; "
+                    "`bound` names the binding side.\n\n"
+                    "| metric | batch | value | unit | %roof | bound |\n"
+                    "|---|---|---|---|---|---|\n")
             for r in rows:
                 f.write(f"| {r['metric']} | {r.get('batch', '-')} "
-                        f"| {r['value']:,} | {r['unit']} |\n")
+                        f"| {r['value']:,} | {r['unit']} "
+                        f"| {r.get('pct_of_roof', '-')} "
+                        f"| {r.get('bound', '-')} |\n")
         print("wrote docs/PERF.md")
 
 
