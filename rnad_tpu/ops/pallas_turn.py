@@ -1,0 +1,252 @@
+"""Pallas TPU kernel: one ENTIRE rollout turn fused in VMEM.
+
+The gather-path turn (env/engine.py::rollout_from) round-trips HBM several
+times per turn: packed-row gather out, observation tensor in/out of the net
+(with f32->bf16 conversion copies around every matmul), logits, masks,
+transition selects.  For MLP actors on trees whose packed table fits VMEM
+(S*D*4B <= ~8 MB — hundreds of thousands of nodes), all of it fuses into
+ONE kernel per turn:
+
+    one-hot MXU row lookup  ->  both seats' observations (VMEM slices)
+    -> fused two-head MLP (weights VMEM-resident, W0=(din,2W), W1=(2W,A+1))
+    -> masked softmax + Gumbel-max action sampling
+    -> joint-cell transition select + Gumbel-max chance draw + reward mask
+
+HBM traffic per turn drops from ~(D_pad + 5 activations) * 4B per lane to
+the trajectory record plus 3 small noise vectors per lane.
+
+Randomness: the Gumbel noise is computed OUTSIDE the kernel with the same
+`jax.random` calls (and key-split order) as the gather path —
+`jax.random.categorical` is definitionally `argmax(logits + gumbel(key))`
+(jax/_src/random.py::categorical) — so given bit-identical logits this
+path rolls the SAME episodes as env/engine.py::rollout_from, verified in
+tests/test_pallas_turn.py.  (A matmul-precision difference between the
+in-kernel MXU dots and XLA's could flip an argmax on a near-tie; the draw
+law is identical regardless.)
+
+Turn semantics mirror reference environment/episode.py:106-121 (transition
++ absorbing-state rewards) and nn/net.py:49 (multinomial sampling), same
+as the gather path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import stepping
+
+_LANE_TILE = 512
+_NEG = -1e30
+
+
+def mlp_fused_weights(params: dict, max_actions: int
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Packs the two-head MLP (models/nets.py::MLP) into one fused pair:
+    W0 = [policy_fc0 | value_fc0] (din, 2W); W1 block-diagonal (2W, A+1)
+    mapping the policy half to logits and the value half to column A."""
+    A = max_actions
+    p0, v0 = params["policy_fc0"], params["value_fc0"]
+    p1, v1 = params["policy_fc1"], params["value_fc1"]
+    W = p0["kernel"].shape[1]
+    w0 = jnp.concatenate([p0["kernel"], v0["kernel"]], axis=1)
+    b0 = jnp.concatenate([p0["bias"], v0["bias"]], axis=0)
+    w1 = jnp.zeros((2 * W, A + 1), jnp.float32)
+    w1 = w1.at[:W, :A].set(p1["kernel"])
+    w1 = w1.at[W:, A].set(v1["kernel"][:, 0])
+    b1 = jnp.concatenate([p1["bias"], v1["bias"]], axis=0)
+    return w0, b0, w1, b1
+
+
+def _argmax_rows(x: jax.Array) -> jax.Array:
+    """(N, K) -> (N,) int32 argmax, lowest index on ties (jnp.argmax
+    semantics)."""
+    n, k = x.shape
+    m = jnp.max(x, axis=1, keepdims=True)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (n, k), 1)
+    big = jnp.where(x >= m, ids, k)
+    return jnp.min(big, axis=1).astype(jnp.int32)
+
+
+def _turn_kernel(idx_ref, table_ref, w0_ref, b0_ref, w1_ref, b1_ref,
+                 grow_ref, gcol_ref, gch_ref,
+                 newidx_ref, polr_ref, polc_ref, actr_ref, actc_ref,
+                 rew_ref, valr_ref, valc_ref, *, A: int, T: int, S: int):
+    tile = idx_ref.shape[0]
+    AA = A * A
+    obs_w = 2 * AA
+    mask_off = 2 * obs_w
+    trans_off = mask_off + 2 * A
+    span = AA * 3 * T
+
+    idx = idx_ref[:]
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (tile, S), 1)
+              == idx[:, None]).astype(jnp.float32)
+    # bit-exact f32 row reconstruction (0/1 multipliers, HIGHEST precision)
+    rows = jax.lax.dot_general(
+        onehot, table_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+    obs2 = jnp.concatenate([rows[:, :obs_w], rows[:, obs_w:2 * obs_w]],
+                           axis=0)  # (2*tile, din)
+    mask2 = jnp.concatenate([rows[:, mask_off:mask_off + A],
+                             rows[:, mask_off + A:mask_off + 2 * A]], axis=0)
+
+    h = jnp.maximum(
+        jax.lax.dot_general(obs2, w0_ref[:],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+        + b0_ref[:][None, :], 0.0)
+    out = jax.lax.dot_general(h, w1_ref[:],
+                              dimension_numbers=(((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST) \
+        + b1_ref[:][None, :]
+    logits = out[:, :A]
+    value = out[:, A]
+
+    ml = jnp.where(mask2 > 0, logits, _NEG)
+    mx = jnp.max(ml, axis=1, keepdims=True)
+    e = jnp.exp(ml - mx)
+    pol = jnp.where(mask2 > 0, e / jnp.sum(e, axis=1, keepdims=True), 0.0)
+    g = jnp.concatenate([grow_ref[:], gcol_ref[:]], axis=0)
+    act = _argmax_rows(ml + g)  # == jax.random.categorical with this noise
+
+    act_row = act[:tile]
+    act_col = act[tile:]
+    cell = act_row * A + act_col  # (tile,)
+
+    # transition select: mask the chosen cell's 3T-wide group, then a
+    # constant (span, 3T) comb matmul (0/1, HIGHEST: exact) extracts it
+    trans = rows[:, trans_off:trans_off + span]  # (tile, span)
+    j = jax.lax.broadcasted_iota(jnp.int32, (tile, span), 1)
+    cell_mask = (j // (3 * T) == cell[:, None]).astype(jnp.float32)
+    comb_rows = jax.lax.broadcasted_iota(jnp.int32, (span, 3 * T), 0)
+    comb_cols = jax.lax.broadcasted_iota(jnp.int32, (span, 3 * T), 1)
+    comb = (comb_rows % (3 * T) == comb_cols).astype(jnp.float32)
+    sel = jax.lax.dot_general(
+        trans * cell_mask, comb,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # (tile, 3T)
+
+    t_choice = _argmax_rows(sel[:, :T] + gch_ref[:])  # chance draw
+    t_oh = (jax.lax.broadcasted_iota(jnp.int32, (tile, T), 1)
+            == t_choice[:, None]).astype(jnp.float32)
+    child = jnp.sum(t_oh * sel[:, T:2 * T], axis=1)
+    val_t = jnp.sum(t_oh * sel[:, 2 * T:3 * T], axis=1)
+    new_idx = child.astype(jnp.int32)
+
+    newidx_ref[:] = new_idx
+    polr_ref[:] = pol[:tile]
+    polc_ref[:] = pol[tile:]
+    actr_ref[:] = act_row
+    actc_ref[:] = act_col
+    rew_ref[:] = jnp.where(new_idx == 0, val_t, 0.0)
+    valr_ref[:] = value[:tile]
+    valc_ref[:] = value[tile:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("A", "T", "interpret", "tile"))
+def fused_turn(table: jax.Array, w0: jax.Array, b0: jax.Array,
+               w1: jax.Array, b1: jax.Array, indices: jax.Array,
+               g_act: jax.Array, g_chance: jax.Array, *, A: int, T: int,
+               interpret: bool = False, tile: int = _LANE_TILE):
+    """One full turn for all lanes.
+
+    ``g_act`` (2B, A) and ``g_chance`` (B, T) are Gumbel noise (see
+    rollout_fused for the key discipline).  Returns (new_indices,
+    policy (2,B,A), actions (2,B), rewards (B,), values (2,B))."""
+    B = indices.shape[0]
+    S, D = table.shape
+    if B % tile:
+        raise ValueError(f"batch {B} must divide the lane tile {tile}")
+    grid = (B // tile,)
+    kernel = functools.partial(_turn_kernel, A=A, T=T, S=S)
+    out_shape = [
+        jax.ShapeDtypeStruct((B,), jnp.int32),       # new indices
+        jax.ShapeDtypeStruct((B, A), jnp.float32),   # policy row
+        jax.ShapeDtypeStruct((B, A), jnp.float32),   # policy col
+        jax.ShapeDtypeStruct((B,), jnp.int32),       # actions row
+        jax.ShapeDtypeStruct((B,), jnp.int32),       # actions col
+        jax.ShapeDtypeStruct((B,), jnp.float32),     # rewards
+        jax.ShapeDtypeStruct((B,), jnp.float32),     # values row
+        jax.ShapeDtypeStruct((B,), jnp.float32),     # values col
+    ]
+    lane = lambda: pl.BlockSpec((tile,), lambda i: (i,),
+                                memory_space=pltpu.VMEM)
+    lane2 = lambda w: pl.BlockSpec((tile, w), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+    whole = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    vec = lambda n: pl.BlockSpec((n,), lambda i: (0,),
+                                 memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            lane(),                                   # indices
+            whole(S, D),                              # table (VMEM-resident)
+            whole(*w0.shape), vec(b0.shape[0]),
+            whole(*w1.shape), vec(b1.shape[0]),
+            lane2(A), lane2(A),                       # action gumbel
+            lane2(T),                                 # chance gumbel
+        ],
+        out_specs=[lane(), lane2(A), lane2(A), lane(), lane(), lane(),
+                   lane(), lane()],
+        out_shape=out_shape,
+        # the TPU-semantics interpreter (not the generic one), for CPU tests
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(indices, table, w0, b0, w1, b1, g_act[:B], g_act[B:], g_chance)
+    new_idx, pr, pc, ar, ac, rew, vr, vc = outs
+    policy = jnp.stack([pr, pc])
+    actions = jnp.stack([ar, ac])
+    values = jnp.stack([vr, vc])
+    return new_idx, policy, actions, rew, values
+
+
+def rollout_fused(packed: stepping.PackedTables, params: dict,
+                  key: jax.Array, init_indices: jax.Array,
+                  num_turns: int, interpret: bool = False,
+                  tile: int = _LANE_TILE):
+    """Full fixed-length rollout where every turn is one fused kernel.
+
+    Key discipline mirrors env/engine.py::rollout_from exactly — split the
+    run key into per-turn keys, then (k_act, k_ch) per turn, gumbel shapes
+    (2B, A) / (T, B) — so this path rolls the gather path's episodes."""
+    from ..env.engine import Trajectory
+
+    A = packed.max_actions
+    T = packed.max_transitions
+    w0, b0, w1, b1 = mlp_fused_weights(params, A)
+    table = packed.rows
+    B = init_indices.shape[0]
+
+    def turn_fn(indices, key_t):
+        k_act, k_ch = jax.random.split(key_t)
+        g_act = jax.random.gumbel(k_act, (2 * B, A), jnp.float32)
+        g_ch = jax.random.gumbel(k_ch, (T, B), jnp.float32).T
+        new_idx, policy, actions, rewards, values = fused_turn(
+            table, w0, b0, w1, b1, indices, g_act, g_ch, A=A, T=T,
+            interpret=interpret, tile=tile)
+        rec = Trajectory(
+            indices=jnp.stack([indices, indices]),
+            policy=policy,
+            actions=actions,
+            rewards=jnp.stack([jnp.zeros((B,), rewards.dtype), rewards]),
+            values=values,
+        )
+        return new_idx, rec
+
+    keys = jax.random.split(key, num_turns)
+    _, records = jax.lax.scan(turn_fn, init_indices, keys)
+    return jax.tree.map(
+        lambda x: x.reshape((2 * num_turns,) + x.shape[2:]), records)

@@ -63,6 +63,10 @@ def main():
                              "high-branching ~1M-node tree (BASELINE cfg 3)")
     parser.add_argument("--lookup", choices=["gather", "pallas"],
                         default="gather")
+    parser.add_argument("--fused-turn", action="store_true",
+                        help="also bench the fully-fused Pallas rollout "
+                             "turn (ops/pallas_turn.py; MLP + VMEM-table "
+                             "trees only)")
     args = parser.parse_args()
 
     from tools import roofline
@@ -139,6 +143,29 @@ def main():
                                         tree.max_depth, B, net.width)
         emit("rollout_env_steps_per_s", T * B / dt, "steps/s", batch=B,
              **roofline.annotate(rmodel, dt))
+
+        if args.fused_turn:
+            from rnad_tpu.ops import pallas_turn
+
+            @jax.jit
+            def roll_fused_many(pk, vs, key, B=B, n=roll_iters):
+                def body(acc, k):
+                    traj = pallas_turn.rollout_fused(
+                        pk, vs["params"], k, jnp.ones((B,), jnp.int32),
+                        tree.max_depth)
+                    return acc + traj.rewards.sum(), None
+                acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                                      jax.random.split(key, n))
+                return acc
+
+            np.asarray(roll_fused_many(packed, variables,
+                                       jax.random.PRNGKey(1)))
+            t0 = time.perf_counter()
+            np.asarray(roll_fused_many(packed, variables,
+                                       jax.random.PRNGKey(2)))
+            dt = (time.perf_counter() - t0) / roll_iters
+            emit("rollout_fused_turn_env_steps_per_s", T * B / dt,
+                 "steps/s", batch=B, **roofline.annotate(rmodel, dt))
 
         cfg = RNaDConfig(batch_size=B, eta=0.2, bounds=(1,), delta_m=(1,),
                          lr=1e-3, gamma_averaging=0.01, logit_clip=2.0)
