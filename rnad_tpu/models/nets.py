@@ -193,6 +193,59 @@ class ConvNet(nn.Module):
         return logits.reshape(lead + (A,)), value.reshape(lead + (1,))
 
 
+def mlp_fused_weights(params: dict, max_actions: int):
+    """Packs the two-head MLP into one fused pair: W0 = [policy_fc0 |
+    value_fc0] (din, 2W); W1 block-diagonal (2W, A+1) mapping the policy
+    half to logits and the value half to column A.  Two matmuls instead of
+    four — the heads never interact (block structure), so outputs are the
+    same math with a wider reduction-free concat."""
+    A = max_actions
+    p0, v0 = params["policy_fc0"], params["value_fc0"]
+    p1, v1 = params["policy_fc1"], params["value_fc1"]
+    W = p0["kernel"].shape[1]
+    w0 = jnp.concatenate([p0["kernel"], v0["kernel"]], axis=1)
+    b0 = jnp.concatenate([p0["bias"], v0["bias"]], axis=0)
+    w1 = jnp.zeros((2 * W, A + 1), p1["kernel"].dtype)
+    w1 = w1.at[:W, :A].set(p1["kernel"])
+    w1 = w1.at[W:, A].set(v1["kernel"][:, 0])
+    b1 = jnp.concatenate([p1["bias"], v1["bias"]], axis=0)
+    return w0, b0, w1, b1
+
+
+def mlp_multi_net_forward(net, params_list, obs_flat: jax.Array):
+    """N two-head MLP forwards over the same observations as TWO matmuls.
+
+    The learner step needs 4 structurally-identical nets (learner, EMA
+    target, regularization pair) on one observation batch.  Separate
+    applies cost 16 small matmul kernels plus a weight-prefetch DMA each
+    (the dominant learner overhead on v5e — see docs/PERF.md); here every
+    net's fused W0 concatenates into (din, N*2W) and the W1s into a
+    block-diagonal (N*2W, N*(A+1)), so the whole thing is two MXU calls.
+    Gradients flow only through entries whose params were not
+    stop_gradient'ed by the caller.
+
+    Returns (logits (N_obs, n, A) f32, values (N_obs, n) f32)."""
+    A = net.max_actions
+    n = len(params_list)
+    fused = [mlp_fused_weights(p, A) for p in params_list]
+    din = fused[0][0].shape[0]
+    twoW = fused[0][0].shape[1]
+    w0 = jnp.concatenate([f[0] for f in fused], axis=1)  # (din, n*2W)
+    b0 = jnp.concatenate([f[1] for f in fused], axis=0)
+    w1 = jnp.zeros((n * twoW, n * (A + 1)), w0.dtype)
+    for i, f in enumerate(fused):
+        w1 = jax.lax.dynamic_update_slice(w1, f[2],
+                                          (i * twoW, i * (A + 1)))
+    b1 = jnp.concatenate([f[3] for f in fused], axis=0)
+
+    dtype = jnp.dtype(net.dtype)
+    x = obs_flat.reshape(obs_flat.shape[0], -1).astype(dtype)
+    h = nn.relu(jnp.dot(x, w0.astype(dtype)) + b0.astype(dtype))
+    out = jnp.dot(h, w1.astype(dtype)) + b1.astype(dtype)
+    out = out.astype(jnp.float32).reshape(-1, n, A + 1)
+    return out[..., :A], out[..., A]
+
+
 def build_net(config: NetConfig) -> nn.Module:
     dtype = jnp.dtype(config.compute_dtype)
     if config.type == "MLP":

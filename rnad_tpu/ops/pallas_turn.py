@@ -45,22 +45,7 @@ _LANE_TILE = 512
 _NEG = -1e30
 
 
-def mlp_fused_weights(params: dict, max_actions: int
-                      ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Packs the two-head MLP (models/nets.py::MLP) into one fused pair:
-    W0 = [policy_fc0 | value_fc0] (din, 2W); W1 block-diagonal (2W, A+1)
-    mapping the policy half to logits and the value half to column A."""
-    A = max_actions
-    p0, v0 = params["policy_fc0"], params["value_fc0"]
-    p1, v1 = params["policy_fc1"], params["value_fc1"]
-    W = p0["kernel"].shape[1]
-    w0 = jnp.concatenate([p0["kernel"], v0["kernel"]], axis=1)
-    b0 = jnp.concatenate([p0["bias"], v0["bias"]], axis=0)
-    w1 = jnp.zeros((2 * W, A + 1), jnp.float32)
-    w1 = w1.at[:W, :A].set(p1["kernel"])
-    w1 = w1.at[W:, A].set(v1["kernel"][:, 0])
-    b1 = jnp.concatenate([p1["bias"], v1["bias"]], axis=0)
-    return w0, b0, w1, b1
+from ..models.nets import mlp_fused_weights  # shared with the learner
 
 
 def _argmax_rows(x: jax.Array) -> jax.Array:
@@ -93,34 +78,37 @@ def _turn_kernel(idx_ref, table_ref, w0_ref, b0_ref, w1_ref, b1_ref,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
 
-    obs2 = jnp.concatenate([rows[:, :obs_w], rows[:, obs_w:2 * obs_w]],
-                           axis=0)  # (2*tile, din)
-    mask2 = jnp.concatenate([rows[:, mask_off:mask_off + A],
-                             rows[:, mask_off + A:mask_off + 2 * A]], axis=0)
+    def seat(obs, mask, g):
+        """Two-matmul head + masked softmax + Gumbel-max sampling for one
+        seat.  (Seats run separately: Mosaic cannot concatenate along the
+        sublane axis at these shapes.)"""
+        h = jnp.maximum(
+            jax.lax.dot_general(obs, w0_ref[:],
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+            + b0_ref[:][None, :], 0.0)
+        out = jax.lax.dot_general(h, w1_ref[:],
+                                  dimension_numbers=(((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST) \
+            + b1_ref[:][None, :]
+        logits = out[:, :A]
+        value = out[:, A]
+        ml = jnp.where(mask > 0, logits, _NEG)
+        mx = jnp.max(ml, axis=1, keepdims=True)
+        e = jnp.exp(ml - mx)
+        pol = jnp.where(mask > 0, e / jnp.sum(e, axis=1, keepdims=True),
+                        0.0)
+        act = _argmax_rows(ml + g)  # == jax.random.categorical w/ this noise
+        return act, pol, value
 
-    h = jnp.maximum(
-        jax.lax.dot_general(obs2, w0_ref[:],
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-        + b0_ref[:][None, :], 0.0)
-    out = jax.lax.dot_general(h, w1_ref[:],
-                              dimension_numbers=(((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST) \
-        + b1_ref[:][None, :]
-    logits = out[:, :A]
-    value = out[:, A]
-
-    ml = jnp.where(mask2 > 0, logits, _NEG)
-    mx = jnp.max(ml, axis=1, keepdims=True)
-    e = jnp.exp(ml - mx)
-    pol = jnp.where(mask2 > 0, e / jnp.sum(e, axis=1, keepdims=True), 0.0)
-    g = jnp.concatenate([grow_ref[:], gcol_ref[:]], axis=0)
-    act = _argmax_rows(ml + g)  # == jax.random.categorical with this noise
-
-    act_row = act[:tile]
-    act_col = act[tile:]
+    act_row, pol_row, val_row = seat(rows[:, :obs_w],
+                                     rows[:, mask_off:mask_off + A],
+                                     grow_ref[:])
+    act_col, pol_col, val_col = seat(rows[:, obs_w:2 * obs_w],
+                                     rows[:, mask_off + A:mask_off + 2 * A],
+                                     gcol_ref[:])
     cell = act_row * A + act_col  # (tile,)
 
     # transition select: mask the chosen cell's 3T-wide group, then a
@@ -145,13 +133,13 @@ def _turn_kernel(idx_ref, table_ref, w0_ref, b0_ref, w1_ref, b1_ref,
     new_idx = child.astype(jnp.int32)
 
     newidx_ref[:] = new_idx
-    polr_ref[:] = pol[:tile]
-    polc_ref[:] = pol[tile:]
+    polr_ref[:] = pol_row
+    polc_ref[:] = pol_col
     actr_ref[:] = act_row
     actc_ref[:] = act_col
     rew_ref[:] = jnp.where(new_idx == 0, val_t, 0.0)
-    valr_ref[:] = value[:tile]
-    valc_ref[:] = value[tile:]
+    valr_ref[:] = val_row
+    valc_ref[:] = val_col
 
 
 @functools.partial(jax.jit,

@@ -192,3 +192,21 @@ def test_convnet_masked_bn_step_changes_stats_correctly(small_tree):
     # stats moved away from init (mean 0 / var 1)
     bs = jax.tree.leaves(new_state.variables["batch_stats"])
     assert any(np.abs(np.asarray(b)).sum() > 0 for b in bs)
+
+
+def test_mlp_multi_net_forward_matches_separate_applies():
+    """The two-matmul 4-net forward (learner-step fast path) must equal
+    four separate MLP applies: the block structure keeps heads and nets
+    independent, so it is the same math."""
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=32))
+    keys = jax.random.split(jax.random.PRNGKey(2), 4)
+    params = [nets.init_variables(net, k, 3)["params"] for k in keys]
+    obs = jax.random.normal(jax.random.PRNGKey(9), (64, 2, 3, 3))
+
+    logits4, values4 = nets.mlp_multi_net_forward(net, params, obs)
+    for i, p in enumerate(params):
+        want_l, want_v = nets.apply_eval(net, {"params": p}, obs)
+        np.testing.assert_allclose(np.asarray(logits4[:, i]),
+                                   np.asarray(want_l), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(values4[:, i]),
+                                   np.asarray(want_v), atol=1e-5)
