@@ -27,6 +27,21 @@ law is identical regardless.)
 Turn semantics mirror reference environment/episode.py:106-121 (transition
 + absorbing-state rewards) and nn/net.py:49 (multinomial sampling), same
 as the gather path.
+
+Measured verdict (v5e, demo tree S=306, docs/PERF.md): the fused turn
+sustains ~40M env half-steps/s vs the gather path's 160-198M, so the
+gather path stays the default.  The loss is structural, not a tuning gap:
+(a) the exact one-hot row lookup is a (tile, S) x (S, D) matmul whose work
+grows with tree size and must run at 6-pass f32 precision to reproduce
+child indices bit-exactly, while XLA's dynamic gather moves only the 512
+bytes per row it needs at ~50% HBM bandwidth; and (b) at the reference's
+action spaces (A=3 => din=18, A+1=4 outputs) every MXU operand pads its
+contraction/lane dims to 128, wasting >85% of each systolic pass — the
+same matmuls inside the XLA rollout amortize that padding over the whole
+(2B)-row batch instead of per 1024-lane tile.  The kernel remains
+supported (and equivalence-tested) as the VMEM-resident option for small
+trees and as the template for wider-action games where the padding waste
+vanishes.
 """
 
 from __future__ import annotations
@@ -41,7 +56,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import stepping
 
-_LANE_TILE = 512
+# XLA lays 1-D 4-byte arrays out in 1024-element tiles ({0:T(1024)}), and
+# Mosaic requires the lane block of a rank-1 operand to match that tiling —
+# a 512 block fails layout verification on real TPUs (fine in interpret).
+_LANE_TILE = 1024
 _NEG = -1e30
 
 
