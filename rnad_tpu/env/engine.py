@@ -79,21 +79,26 @@ def trajectory_observations(packed: stepping.PackedTables, traj: Trajectory
                             ) -> Tuple[jax.Array, jax.Array]:
     """Re-derives per-half-step observations and mover legal masks.
 
-    Returns (observations (T, B, 2, A, A), masks (T, B, A)).  One wide
-    gather over T*B rows; the seat alternation is a static even/odd select.
+    Returns (observations (T, B, 2, A, A), masks (T, B, A)).  Both
+    half-steps of a turn share the state index (the engine emits them in
+    pairs, see ``rollout_from``), so only the even half-steps' rows are
+    gathered — one wide gather over (T/2)*B rows, half the HBM traffic of
+    a per-half-step gather — and the two seats' views are interleaved back
+    with a reshape.
     """
     T, B = traj.indices.shape
     A = packed.max_actions
-    rows = stepping.lookup(packed, traj.indices.reshape(-1))
+    n_turns = T // 2
+    rows = stepping.lookup(packed, traj.indices[0::2].reshape(-1))
     row_obs, col_obs = stepping.slice_observations(packed, rows)
     row_mask, col_mask = stepping.slice_action_masks(packed, rows)
-    seat = (jnp.arange(T, dtype=jnp.int32) % 2).astype(bool)
-    seat_obs = seat[:, None, None, None, None]
-    obs = jnp.where(seat_obs, col_obs.reshape(T, B, 2, A, A),
-                    row_obs.reshape(T, B, 2, A, A))
-    masks = jnp.where(seat[:, None, None], col_mask.reshape(T, B, A),
-                      row_mask.reshape(T, B, A))
-    return obs, masks
+    # (n_turns, 1, B, ...) pairs -> (n_turns, 2, B, ...) -> (T, B, ...):
+    # even t gets the row seat's view, odd t the col seat's.
+    pair = lambda r, c: jnp.stack(
+        [r.reshape((n_turns, B) + r.shape[1:]),
+         c.reshape((n_turns, B) + c.shape[1:])], axis=1
+    ).reshape((T, B) + r.shape[1:])
+    return pair(row_obs, col_obs), pair(row_mask, col_mask)
 
 
 # Actor signature: variables, obs (N, 2, A, A) -> (logits (N, A), value (N,))

@@ -161,18 +161,14 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
     log_policy_reg = jax.lax.stop_gradient(log_pi) - (
         alpha * log_pi_reg + (1.0 - alpha) * log_pi_reg_prev)
 
-    v_target_list, has_played_list, policy_target_list = [], [], []
-    for player in range(2):
-        reward_p = traj.rewards if player == 0 else -traj.rewards
-        v_t, played, pol_t = vtrace.v_trace(
-            v_target_net, valid, player_id, traj.policy, pi_processed_sg,
-            log_policy_reg, vtrace.player_others(player_id, valid, player),
-            actions_oh, reward_p, player,
-            eta=cfg.eta, lambda_=1.0, c=cfg.c_bar, rho=cfg.roh_bar,
-            gamma=cfg.vtrace_gamma)
-        v_target_list.append(jax.lax.stop_gradient(v_t))
-        has_played_list.append(jax.lax.stop_gradient(played))
-        policy_target_list.append(jax.lax.stop_gradient(pol_t))
+    v_t2, played2, pol_t2 = vtrace.v_trace_both(
+        v_target_net, valid, player_id, traj.policy, pi_processed_sg,
+        log_policy_reg, actions_oh, traj.rewards,
+        eta=cfg.eta, lambda_=1.0, c=cfg.c_bar, rho=cfg.roh_bar,
+        gamma=cfg.vtrace_gamma)
+    v_target_list = [jax.lax.stop_gradient(v_t2[p]) for p in range(2)]
+    has_played_list = [jax.lax.stop_gradient(played2[p]) for p in range(2)]
+    policy_target_list = [jax.lax.stop_gradient(pol_t2[p]) for p in range(2)]
 
     loss_v = vtrace.get_loss_v([v, v], v_target_list, has_played_list,
                                global_sum=gsum)

@@ -197,6 +197,47 @@ def v_trace(
     return v_target, played, learning_output
 
 
+def v_trace_both(
+    v: jax.Array,  # (T, B, 1)
+    valid: jax.Array,  # (T, B)
+    player_id: jax.Array,  # (T, B)
+    acting_policy: jax.Array,  # (T, B, A)
+    merged_policy: jax.Array,  # (T, B, A)
+    merged_log_policy: jax.Array,  # (T, B, A)
+    actions_oh: jax.Array,  # (T, B, A)
+    reward: jax.Array,  # (T, B) row-player perspective
+    *,
+    eta: float,
+    lambda_: float = 1.0,
+    c: float = 1.0,
+    rho: float = 1.0,
+    gamma: float = 1.0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Both players' v-trace as ONE vmapped scan.
+
+    ``v_trace`` is called once per player (reference vtrace.py:234-239 runs
+    the whole recursion twice); the only player-dependent inputs are the
+    reward sign, the ±1 ``player_others`` field and the ``pid == player``
+    selects, so vmapping over a stacked player axis fuses the two reverse
+    scans (plus the two ``has_played`` scans) into one at double width —
+    halving the sequential-step count, the scan-overhead-bound cost on
+    shallow trees.  Outputs are stacked on a leading player axis and
+    bit-identical to the per-player calls (tests/test_vtrace_parity.py).
+    """
+    players = jnp.arange(2, dtype=player_id.dtype)
+    rewards2 = jnp.stack([reward, -reward])
+    p_others2 = jnp.stack([player_others(player_id, valid, 0),
+                           player_others(player_id, valid, 1)])
+
+    def one(p_others_p, reward_p, player_p):
+        return v_trace(v, valid, player_id, acting_policy, merged_policy,
+                       merged_log_policy, p_others_p, actions_oh, reward_p,
+                       player_p, eta=eta, lambda_=lambda_, c=c, rho=rho,
+                       gamma=gamma)
+
+    return jax.vmap(one)(p_others2, rewards2, players)
+
+
 def process_policy(policy: jax.Array, mask: jax.Array, n_disc: int,
                    epsilon_threshold: float = 0.03) -> jax.Array:
     """Epsilon-threshold + grid discretization of the learner policy

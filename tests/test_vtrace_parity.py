@@ -83,6 +83,33 @@ def test_v_trace_parity(seed, player, eta):
     np.testing.assert_allclose(np.asarray(out_lo), ref_lo.numpy(), atol=2e-5)
 
 
+@pytest.mark.parametrize("seed", [0, 4])
+@pytest.mark.parametrize("eta", [0.0, 0.2])
+def test_v_trace_both_matches_per_player(seed, eta):
+    """The single-scan two-player form is bit-identical to two v_trace
+    calls (the trainer's fused path, learn/rnad.py)."""
+    d = make_batch(seed)
+    kw = dict(eta=eta, lambda_=1.0, c=1.0, rho=1.0, gamma=1.0)
+    args = (jnp.asarray(d["v"]), jnp.asarray(d["valid"]),
+            jnp.asarray(d["player_id"]), jnp.asarray(d["mu"]),
+            jnp.asarray(d["pi"]), jnp.asarray(d["log_pi_reg"]))
+    aoh = jnp.asarray(d["actions_oh"])
+    reward = jnp.asarray(d["reward"])
+
+    vt2, hp2, lo2 = jv.v_trace_both(*args, aoh, reward, **kw)
+    for player in range(2):
+        r_p = reward if player == 0 else -reward
+        vt, hp, lo = jv.v_trace(
+            *args, jv.player_others(args[2], args[1], player),
+            aoh, r_p, player, **kw)
+        np.testing.assert_array_equal(np.asarray(vt2[player]),
+                                      np.asarray(vt))
+        np.testing.assert_array_equal(np.asarray(hp2[player]),
+                                      np.asarray(hp))
+        np.testing.assert_array_equal(np.asarray(lo2[player]),
+                                      np.asarray(lo))
+
+
 @pytest.mark.parametrize("seed", [0, 3])
 def test_process_policy_parity(seed):
     d = make_batch(seed)
