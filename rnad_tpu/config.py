@@ -159,6 +159,12 @@ class RNaDConfig:
     # only the reward-transform/target precision changes, not the gradient
     # path.  float32 matches the reference bit-for-bit.
     frozen_net_dtype: str = "float32"
+    # False drops the diagnostic metrics (policy klds, logit stats,
+    # trajectory length — reference rnad.py:427-454) from the compiled step,
+    # keeping only the three loss scalars; the diagnostics cost real step
+    # time at large batch (three (T,B,A) kld reductions) and are usually
+    # consumed only every log_mod steps.
+    detailed_metrics: bool = True
 
     def to_json(self) -> dict:
         d = dataclasses.asdict(self)

@@ -34,6 +34,12 @@ from ..models import common
 from ..ops import stepping
 from .tree import GameTree
 
+# Unroll factor of the rollout turn scan (see learn/vtrace.py: the same
+# trade — few, short iterations — applies, though each turn here is heavy,
+# so the benefit is mostly turning the per-turn dynamic-update-slice record
+# writes into static stores).
+SCAN_UNROLL = 1
+
 
 @struct.dataclass
 class Trajectory:
@@ -154,7 +160,8 @@ def rollout_from(tree: GameTree, actor_fn: ActorFn, variables,
         return new_indices, record
 
     keys = jax.random.split(key, num_turns)
-    _, records = jax.lax.scan(turn_fn, init_indices, keys)
+    _, records = jax.lax.scan(turn_fn, init_indices, keys,
+                              unroll=min(num_turns, SCAN_UNROLL))
     # (num_turns, 2, B, ...) -> (2 * num_turns, B, ...)
     return jax.tree.map(
         lambda x: x.reshape((2 * num_turns,) + x.shape[2:]), records)

@@ -182,6 +182,14 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
 
     loss = cfg.value_loss_weight * loss_v + cfg.neurd_loss_weight * loss_nerd
 
+    metrics = {
+        "loss": loss,
+        "loss_v": loss_v,
+        "loss_nerd": loss_nerd,
+    }
+    if not cfg.detailed_metrics:
+        return loss, (mutated, metrics)
+
     # Diagnostics (reference rnad.py:427-454).  Under an axis_name, counts
     # and extrema reduce globally so every metric equals its unsharded value.
     uniform_policy = masks / jnp.maximum(masks.sum(-1, keepdims=True), 1e-30)
@@ -197,10 +205,7 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
         logit_max = jax.lax.pmax(
             jax.lax.stop_gradient(jnp.abs(logits - logit_mean).max()),
             axis_name)
-    metrics = {
-        "loss": loss,
-        "loss_v": loss_v,
-        "loss_nerd": loss_nerd,
+    metrics.update({
         "traj_len": traj_len,
         "logit_mean": logit_mean,
         "logit_max": logit_max,
@@ -209,7 +214,7 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
                                            masks, gsum),
         "actor_learner_kld": nashconv_lib.kld(pi, traj.policy, valid, masks,
                                               gsum),
-    }
+    })
     return loss, (mutated, metrics)
 
 

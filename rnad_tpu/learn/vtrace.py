@@ -28,6 +28,17 @@ from typing import NamedTuple, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+# Unroll factor of the reverse scans.  Trajectories are short (T = 2 *
+# max_depth, typically 8-12) and each scan iteration touches only a few
+# (B,)-sized rows, so the per-iteration while-loop overhead dominates;
+# unrolling lets XLA fuse across time steps.  Full unroll is capped so very
+# deep trees don't blow up compile time.
+SCAN_UNROLL_CAP = 16
+
+
+def _unroll(length: int) -> int:
+    return min(int(length), SCAN_UNROLL_CAP)
+
 
 class VTraceCarry(NamedTuple):
     """Carry of the reverse v-trace scan (reference vtrace.py:58-67)."""
@@ -71,7 +82,8 @@ def has_played(valid: jax.Array, player_id: jax.Array,
         return new_carry, out
 
     init = jnp.zeros_like(player_id[-1])
-    _, result = jax.lax.scan(loop, init, (valid, player_id), reverse=True)
+    _, result = jax.lax.scan(loop, init, (valid, player_id), reverse=True,
+                             unroll=_unroll(valid.shape[0]))
     return result
 
 
@@ -192,8 +204,8 @@ def v_trace(
 
     xs = (ratio, player_id, v, reward, eta_reg_entropy, valid, inv_mu,
           actions_oh, eta_log_policy)
-    _, (v_target, learning_output) = jax.lax.scan(loop, init, xs,
-                                                  reverse=True)
+    _, (v_target, learning_output) = jax.lax.scan(
+        loop, init, xs, reverse=True, unroll=_unroll(valid.shape[0]))
     return v_target, played, learning_output
 
 

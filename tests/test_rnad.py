@@ -218,3 +218,28 @@ def test_fused_step_equals_decomposed(small_tree):
         lambda a, b: np.allclose(np.asarray(a), np.asarray(b), atol=1e-6),
         state_a.variables, state_b.variables)
     assert jax.tree.all(same)
+
+
+def test_light_metrics_same_update(small_tree):
+    """detailed_metrics=False drops the diagnostic metrics from the compiled
+    step but must not change the update itself (the diagnostics are pure
+    observers)."""
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16))
+    states, metric_sets = [], []
+    for detailed in (True, False):
+        cfg = small_cfg(batch_size=48, detailed_metrics=detailed)
+        train_step, _, _, _ = rnad_lib.make_rnad_fns(net, small_tree, cfg)
+        state = rnad_lib.init_train_state(net, jax.random.PRNGKey(3), 3, cfg)
+        state, metrics = train_step(state, jnp.float32(0.5))
+        states.append(state)
+        metric_sets.append(metrics)
+    detailed_m, light_m = metric_sets
+    assert set(light_m) == {"loss", "loss_v", "loss_nerd", "gradient_norm"}
+    assert set(light_m) < set(detailed_m)
+    for k in light_m:
+        np.testing.assert_allclose(float(light_m[k]), float(detailed_m[k]),
+                                   rtol=1e-6)
+    same = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        states[0].variables, states[1].variables)
+    assert jax.tree.all(same)
