@@ -165,6 +165,11 @@ class RNaDConfig:
     # time at large batch (three (T,B,A) kld reductions) and are usually
     # consumed only every log_mod steps.
     detailed_metrics: bool = True
+    # Store each half-step's observation + legal mask in the trajectory
+    # during rollout instead of re-gathering the 512-byte packed rows in the
+    # learner (which needs only ~84 bytes of each): ~6x less learner-side
+    # HBM traffic, bit-identical updates (env/engine.py::Trajectory.obs).
+    store_rollout_obs: bool = True
 
     def to_json(self) -> dict:
         d = dataclasses.asdict(self)

@@ -55,6 +55,17 @@ class Trajectory:
     actions: jax.Array  # (T, B) int32 — sampled action ids
     rewards: jax.Array  # (T, B) f32 — row-player reward (zero-sum)
     values: jax.Array  # (T, B) f32 — actor value estimates (mover's POV)
+    # Optional stored per-half-step views (``rollout_from(store_obs=True)``).
+    # Observations/masks are pure functions of ``indices`` so they CAN always
+    # be re-derived via the packed-table gather — but the learner only needs
+    # ~84 of the 512 bytes of each packed row, so at training batch sizes
+    # storing the slim views during rollout (where the rows are already in
+    # registers) and skipping the learner's re-gather moves ~6x less HBM
+    # traffic.  ``obs`` is stored in a dtype wide enough that every
+    # learner-side consumer sees the same bits after its own entry cast as
+    # it would from the re-derived f32 path (see make_rnad_fns).
+    obs: jax.Array | None = None  # (T, B, 2, A, A) mover's view per half-step
+    masks: jax.Array | None = None  # (T, B, A) f32 mover's legal mask
 
     @property
     def num_half_steps(self) -> int:
@@ -92,6 +103,8 @@ def trajectory_observations(packed: stepping.PackedTables, traj: Trajectory
     a per-half-step gather — and the two seats' views are interleaved back
     with a reshape.
     """
+    if traj.obs is not None:
+        return traj.obs, traj.masks
     T, B = traj.indices.shape
     A = packed.max_actions
     n_turns = T // 2
@@ -113,23 +126,30 @@ ActorFn = Callable[[dict, jax.Array], Tuple[jax.Array, jax.Array]]
 
 def rollout(tree: GameTree, actor_fn: ActorFn, variables, key: jax.Array,
             batch_size: int, num_turns: int | None = None,
-            packed: stepping.PackedTables | None = None) -> Trajectory:
+            packed: stepping.PackedTables | None = None,
+            store_obs: bool = False, obs_dtype=None) -> Trajectory:
     """Plays ``batch_size`` episodes to completion under the actor policy."""
     init = jnp.ones((batch_size,), jnp.int32)
     return rollout_from(tree, actor_fn, variables, key, init, num_turns,
-                        packed)
+                        packed, store_obs=store_obs, obs_dtype=obs_dtype)
 
 
 def rollout_from(tree: GameTree, actor_fn: ActorFn, variables,
                  key: jax.Array, init_indices: jax.Array,
                  num_turns: int | None = None,
-                 packed: stepping.PackedTables | None = None) -> Trajectory:
+                 packed: stepping.PackedTables | None = None,
+                 store_obs: bool = False, obs_dtype=None) -> Trajectory:
     """Rollout starting from an explicit per-lane state vector.
 
     Passing the initial indices lets callers attach a sharding constraint to
     the lane axis so GSPMD shards the entire rollout over a device mesh.
     Pure function of (tree/packed, variables, key); one scan iteration = one
     full turn = two emitted half-step records.
+
+    ``store_obs`` additionally records each half-step's observation (cast to
+    ``obs_dtype``, e.g. the actor net's compute dtype) and legal mask in the
+    trajectory, sparing the learner the packed-row re-gather (see
+    ``Trajectory.obs``).
     """
     if num_turns is None:
         num_turns = tree.max_depth
@@ -156,6 +176,10 @@ def rollout_from(tree: GameTree, actor_fn: ActorFn, variables,
             actions=actions.reshape(2, B).astype(jnp.int32),
             rewards=jnp.stack([jnp.zeros((B,), rewards.dtype), rewards]),
             values=value.reshape(2, B),
+            obs=((obs2 if obs_dtype is None else obs2.astype(obs_dtype))
+                 .reshape((2, B) + row_obs.shape[1:])
+                 if store_obs else None),
+            masks=legal.reshape(2, B, A) if store_obs else None,
         )
         return new_indices, record
 

@@ -229,6 +229,11 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
     actor_fn = lambda variables, obs: nets.apply_eval(net, variables, obs)
     tx = make_optimizer(cfg)
     packed_tables = stepping.make_packed_tables(tree)
+    # Stored-observation dtype: wide enough that every learner-side consumer
+    # (learner net AND frozen nets) sees bit-identical inputs to the
+    # re-derived f32 path after its own entry cast.
+    obs_store_dtype = jnp.promote_types(jnp.dtype(net.dtype),
+                                        jnp.dtype(cfg.frozen_net_dtype))
 
     # tree/packed are threaded as explicit jit arguments (not closure
     # constants) so large game tables are runtime inputs, never baked into
@@ -240,7 +245,9 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
         if constrain_batch is not None:
             init = constrain_batch(init)
         traj = engine.rollout_from(tree, actor_fn, state.variables, k_roll,
-                                   init, tree.max_depth, packed)
+                                   init, tree.max_depth, packed,
+                                   store_obs=cfg.store_rollout_obs,
+                                   obs_dtype=obs_store_dtype)
         return state.replace(key=key), traj
 
     def learn_fn(packed, state: TrainState, traj: engine.Trajectory,

@@ -85,12 +85,19 @@ def _per_shard_learn(net, tx, cfg: RNaDConfig, packed,
     return new_state, metrics
 
 
-def _traj_specs() -> engine.Trajectory:
-    """PartitionSpecs sharding a time-major Trajectory's lane axis."""
+def _traj_specs(traj: engine.Trajectory | None = None) -> engine.Trajectory:
+    """PartitionSpecs sharding a time-major Trajectory's lane axis.  The
+    spec pytree must mirror the trajectory's structure, so the optional
+    stored-observation fields get specs only when present."""
     lane2 = P(None, mesh_lib.DATA_AXIS)
     lane3 = P(None, mesh_lib.DATA_AXIS, None)
-    return engine.Trajectory(indices=lane2, policy=lane3, actions=lane2,
-                             rewards=lane2, values=lane2)
+    has_obs = traj is not None and traj.obs is not None
+    return engine.Trajectory(
+        indices=lane2, policy=lane3, actions=lane2, rewards=lane2,
+        values=lane2,
+        obs=P(None, mesh_lib.DATA_AXIS, None, None, None) if has_obs
+        else None,
+        masks=lane3 if has_obs else None)
 
 
 def make_shard_map_train_step(net, tree: GameTree, cfg: RNaDConfig,
@@ -113,7 +120,11 @@ def make_shard_map_train_step(net, tree: GameTree, cfg: RNaDConfig,
         k_roll = jax.random.fold_in(k_roll, axis)
         init = jnp.ones((local_batch,), jnp.int32)
         traj = engine.rollout_from(tree, actor_fn, state.variables, k_roll,
-                                   init, tree.max_depth, packed)
+                                   init, tree.max_depth, packed,
+                                   store_obs=cfg.store_rollout_obs,
+                                   obs_dtype=jnp.promote_types(
+                                       jnp.dtype(net.dtype),
+                                       jnp.dtype(cfg.frozen_net_dtype)))
         new_state, metrics = _per_shard_learn(net, tx, cfg, packed,
                                               state, traj, alpha)
         return new_state.replace(key=key), metrics
@@ -150,15 +161,22 @@ def make_shard_map_learn_step(net, tree: GameTree, cfg: RNaDConfig,
     def per_shard(packed, state, traj, alpha):
         return _per_shard_learn(net, tx, cfg, packed, state, traj, alpha)
 
-    shard_fn = jax.shard_map(
-        per_shard, mesh=mesh,
-        in_specs=(rep, rep, _traj_specs(), rep),
-        out_specs=(rep, rep),
-        check_vma=False)
-    jitted = jax.jit(shard_fn)
+    # in_specs must mirror the trajectory pytree, whose optional
+    # stored-observation fields vary by producer — build one jitted
+    # shard_map per trajectory structure (two at most).
+    jitted_by_structure = {}
 
     def learn(state: rnad_lib.TrainState, traj: engine.Trajectory, alpha
               ) -> Tuple[rnad_lib.TrainState, dict]:
-        return jitted(packed, state, traj, jnp.float32(alpha))
+        key = traj.obs is not None
+        if key not in jitted_by_structure:
+            shard_fn = jax.shard_map(
+                per_shard, mesh=mesh,
+                in_specs=(rep, rep, _traj_specs(traj), rep),
+                out_specs=(rep, rep),
+                check_vma=False)
+            jitted_by_structure[key] = jax.jit(shard_fn)
+        return jitted_by_structure[key](packed, state, traj,
+                                        jnp.float32(alpha))
 
     return learn

@@ -148,3 +148,28 @@ def test_engine_across_game_shapes(A, T, depth):
     state = rnad_lib.init_train_state(net_, jax.random.PRNGKey(0), A, rcfg)
     state, metrics = step(state, jnp.float32(0.5))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_stored_obs_matches_rederived(small_tree):
+    """rollout(store_obs=True) must store exactly the observations/masks the
+    packed-table re-derivation would produce, and the same episodes."""
+    from rnad_tpu.ops import stepping
+
+    t = small_tree
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=32))
+    variables = nets.init_variables(net, jax.random.PRNGKey(1), 3)
+    actor = lambda vs, obs: nets.apply_eval(net, vs, obs)
+    packed = stepping.make_packed_tables(t)
+    key = jax.random.PRNGKey(5)
+    plain = engine.rollout(t, actor, variables, key, 128, packed=packed)
+    stored = engine.rollout(t, actor, variables, key, 128, packed=packed,
+                            store_obs=True)
+    assert stored.obs is not None and stored.masks is not None
+    np.testing.assert_array_equal(np.asarray(stored.indices),
+                                  np.asarray(plain.indices))
+    np.testing.assert_array_equal(np.asarray(stored.actions),
+                                  np.asarray(plain.actions))
+    obs_re, masks_re = engine.trajectory_observations(packed, plain)
+    obs_st, masks_st = engine.trajectory_observations(packed, stored)
+    np.testing.assert_array_equal(np.asarray(obs_st), np.asarray(obs_re))
+    np.testing.assert_array_equal(np.asarray(masks_st), np.asarray(masks_re))

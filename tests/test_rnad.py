@@ -243,3 +243,21 @@ def test_light_metrics_same_update(small_tree):
         lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
         states[0].variables, states[1].variables)
     assert jax.tree.all(same)
+
+
+def test_stored_obs_same_update(small_tree):
+    """store_rollout_obs on/off must produce bit-identical train steps (the
+    stored views equal the re-derived ones; test_engine covers the views
+    themselves)."""
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16))
+    states = []
+    for store in (True, False):
+        cfg = small_cfg(batch_size=48, store_rollout_obs=store)
+        train_step, _, _, _ = rnad_lib.make_rnad_fns(net, small_tree, cfg)
+        state = rnad_lib.init_train_state(net, jax.random.PRNGKey(3), 3, cfg)
+        state, _ = train_step(state, jnp.float32(0.5))
+        states.append(state)
+    same = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        states[0].variables, states[1].variables)
+    assert jax.tree.all(same)
