@@ -75,15 +75,19 @@ def has_played(valid: jax.Array, player_id: jax.Array,
     (reference vtrace.py:141-177)."""
 
     def loop(carry, x):
-        v, pid = x
-        out = _select(v, _select(pid == player, jnp.ones_like(carry), carry),
+        v, mine = x
+        out = _select(v, _select(mine, jnp.ones_like(carry), carry),
                       jnp.zeros_like(carry))
         new_carry = _select(v, carry, jnp.zeros_like(carry))
         return new_carry, out
 
+    # The player comparison is hoisted out of the scan: scanning the raw
+    # s32 player ids materializes them (T, players, B) under the vmap in
+    # v_trace_both and slices that buffer per unrolled step, while the
+    # bool mask is 4x smaller and folds when ids are a broadcast iota.
     init = jnp.zeros_like(player_id[-1])
-    _, result = jax.lax.scan(loop, init, (valid, player_id), reverse=True,
-                             unroll=_unroll(valid.shape[0]))
+    _, result = jax.lax.scan(loop, init, (valid, player_id == player),
+                             reverse=True, unroll=_unroll(valid.shape[0]))
     return result
 
 
@@ -152,7 +156,7 @@ def v_trace(
     )
 
     def loop(carry: VTraceCarry, x):
-        (cs, pid, v_t, r_t, ent_t, valid_t, inv_mu_t, aoh_t, elp_t) = x
+        (cs, mine_t, v_t, r_t, ent_t, valid_t, inv_mu_t, aoh_t, elp_t) = x
 
         reward_uncorrected = r_t + gamma * carry.reward_uncorrected + ent_t
         discounted_reward = r_t + gamma * carry.reward
@@ -196,14 +200,17 @@ def v_trace(
                     jnp.zeros_like(our_learning_output))
         carry_out, y = _select(
             valid_t,
-            _select(pid == player,
+            _select(mine_t,
                     (our_carry, (our_v_target, our_learning_output)),
                     (opp_carry, zero_out)),
             (init, zero_out))
         return carry_out, y
 
-    xs = (ratio, player_id, v, reward, eta_reg_entropy, valid, inv_mu,
-          actions_oh, eta_log_policy)
+    # The acting-player comparison is hoisted out of the scan (see
+    # has_played): scanning the raw ids materializes and re-slices an
+    # (T, players, B) s32 buffer under v_trace_both's vmap.
+    xs = (ratio, player_id == player, v, reward, eta_reg_entropy, valid,
+          inv_mu, actions_oh, eta_log_policy)
     _, (v_target, learning_output) = jax.lax.scan(
         loop, init, xs, reverse=True, unroll=_unroll(valid.shape[0]))
     return v_target, played, learning_output
