@@ -39,7 +39,8 @@ def main():
 
     batch = 1 << 17  # 131072 lanes
     num_turns = tree.max_depth
-    iters = 40  # rollouts per timed device program
+    iters = 128  # rollouts per timed device program (amortizes the ~25 ms
+    # per-program tunnel dispatch to <0.5% of the measurement)
     packed = stepping.make_packed_tables(tree)
 
     # All ITERS rollouts run inside ONE jitted scan, so the measurement is

@@ -124,7 +124,10 @@ def main():
         # overflows the remote-compile request limit).  All iterations run
         # inside ONE jitted scan so measurements are pure device throughput
         # (per-call tunnel latency on this sandbox is ~30 ms).
-        roll_iters = max(2, min(40, (1 << 22) // B))
+        # Enough iterations that the ~20-30 ms per-program tunnel dispatch
+        # is <2% of the measurement (the scan is rolled, so the trip count
+        # does not affect compile time).
+        roll_iters = max(4, min(200, (1 << 24) // B))
 
         @jax.jit
         def roll_many(tr, pk, vs, key, B=B, n=roll_iters):
@@ -167,34 +170,46 @@ def main():
             emit("rollout_fused_turn_env_steps_per_s", T * B / dt,
                  "steps/s", batch=B, **roofline.annotate(rmodel, dt))
 
-        cfg = RNaDConfig(batch_size=B, eta=0.2, bounds=(1,), delta_m=(1,),
-                         lr=1e-3, gamma_averaging=0.01, logit_clip=2.0)
-        train_step, _, learn_jit, _ = rnad_lib.make_rnad_fns(net, tree, cfg)
-        state = rnad_lib.init_train_state(net, jax.random.PRNGKey(0), A, cfg)
+        train_iters = max(4, min(100, (1 << 22) // B))
 
-        train_iters = max(2, min(10, (1 << 20) // B))
-        from rnad_tpu.learn.rnad import TrainState  # noqa: F401
+        def bench_train(compute_dtype, suffix, dtype_label):
+            tmodel = roofline.train_model(
+                A, tree.max_transitions, tree.max_depth, B, net.width,
+                act_elt_bytes=2 if dtype_label == "bfloat16" else 4)
+            cfg = RNaDConfig(batch_size=B, eta=0.2, bounds=(1,),
+                             delta_m=(1,), lr=1e-3, gamma_averaging=0.01,
+                             logit_clip=2.0,
+                             frozen_net_dtype=compute_dtype)
+            tnet = nets.build_net(NetConfig(type="MLP", max_actions=A,
+                                            width=256,
+                                            compute_dtype=compute_dtype))
+            train_step, *_ = rnad_lib.make_rnad_fns(tnet, tree, cfg)
+            state = rnad_lib.init_train_state(tnet, jax.random.PRNGKey(0),
+                                              A, cfg)
 
-        @jax.jit
-        def train_many(tr, pk, s0, n=train_iters):
-            def body(s, _):
-                s2, m = train_step.inner(tr, pk, s, jnp.float32(0.5))
-                return s2, m["loss"]
-            s_out, losses = jax.lax.scan(body, s0, None, length=n)
-            return losses
+            @jax.jit
+            def train_many(tr, pk, s0, n=train_iters):
+                def body(s, _):
+                    s2, m = train_step.inner(tr, pk, s, jnp.float32(0.5))
+                    return s2, m["loss"]
+                s_out, losses = jax.lax.scan(body, s0, None, length=n)
+                return losses
 
-        np.asarray(train_many(tree, packed, state))  # compile + warm
-        t0 = time.perf_counter()
-        losses = np.asarray(train_many(tree, packed, state))
-        dt = (time.perf_counter() - t0) / train_iters
-        assert np.isfinite(losses).all()
-        tmodel = roofline.train_model(A, tree.max_transitions,
-                                      tree.max_depth, B, net.width)
-        troof = roofline.annotate(tmodel, dt)
-        emit("train_steps_per_s", 1.0 / dt, "updates/s", batch=B, **troof)
-        emit("train_env_steps_per_s", T * B / dt, "steps/s", batch=B,
-             **troof)
-        del state, train_step, train_many  # release before next config
+            np.asarray(train_many(tree, packed, state))  # compile + warm
+            t0 = time.perf_counter()
+            losses = np.asarray(train_many(tree, packed, state))
+            dt = (time.perf_counter() - t0) / train_iters
+            assert np.isfinite(losses).all()
+            troof = roofline.annotate(tmodel, dt, dtype=dtype_label)
+            emit("train_steps_per_s" + suffix, 1.0 / dt, "updates/s",
+                 batch=B, **troof)
+            emit("train_env_steps_per_s" + suffix, T * B / dt, "steps/s",
+                 batch=B, **troof)
+
+        # f32 = reference-bit-exact mode; bf16 = the TPU-native compute
+        # mode (net + frozen passes in bfloat16, gradients/optimizer f32)
+        bench_train("float32", "", "float32")
+        bench_train("bfloat16", "_bf16", "bfloat16")
         import gc
 
         gc.collect()
@@ -212,7 +227,9 @@ def main():
                     "analytic speed-of-light bound of tools/roofline.py "
                     "(max of HBM-bytes time and MXU-FLOPs time for the "
                     "unavoidable work) divided by the measured time; "
-                    "`bound` names the binding side.\n\n"
+                    "`bound` names the binding side.  Per-phase trace "
+                    "attribution and the large-batch scaling analysis "
+                    "live in docs/PERF_ANALYSIS.md.\n\n"
                     "| metric | batch | value | unit | %roof | bound |\n"
                     "|---|---|---|---|---|---|\n")
             for r in rows:

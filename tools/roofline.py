@@ -44,15 +44,20 @@ def packed_row_bytes(A: int, T: int) -> int:
     return 4 * D_pad
 
 
-def rollout_model(A: int, T: int, depth: int, B: int, width: int) -> dict:
-    """Unavoidable work of one rollout (depth levels, 2*depth half-steps)."""
+def rollout_model(A: int, T: int, depth: int, B: int, width: int,
+                  act_elt_bytes: int = 4) -> dict:
+    """Unavoidable work of one rollout (depth levels, 2*depth half-steps).
+
+    ``act_elt_bytes``: bytes per network-activation element (2 for a
+    bfloat16 compute mode); table gathers and trajectory scalars stay f32.
+    """
     levels = depth
     half_steps = 2 * depth
     din = 2 * A * A
     # one packed-row gather per lane per level
     gather_bytes = levels * B * packed_row_bytes(A, T)
     # per level: one (2B)-batched forward; activations written+read once
-    act_bytes = levels * (2 * B) * (2 * din + A + 1) * 4
+    act_bytes = levels * (2 * B) * (2 * din + A + 1) * act_elt_bytes
     traj_bytes = half_steps * B * (A + 4) * 4  # policy + 4 scalar fields
     flops = levels * (2 * B) * mlp_flops_per_sample(A, width)
     return {"flops": flops,
@@ -60,23 +65,27 @@ def rollout_model(A: int, T: int, depth: int, B: int, width: int) -> dict:
             "env_half_steps": half_steps * B}
 
 
-def train_model(A: int, T: int, depth: int, B: int, width: int) -> dict:
+def train_model(A: int, T: int, depth: int, B: int, width: int,
+                act_elt_bytes: int = 4) -> dict:
     """Unavoidable work of one fused train step: rollout + learner.
 
-    Learner: one packed gather over (T_traj*B) rows, learner forward +
-    backward (2x forward), 3 frozen forwards (vmapped), two v-trace scans
-    and the loss elementwise field (~24 passes over (T_traj, B, A) f32)."""
-    roll = rollout_model(A, T, depth, B, width)
+    Learner: stored-observation reads over (T_traj*B) rows (obs + masks;
+    see env/engine.py::Trajectory.obs), learner forward + backward (2x
+    forward), 3 frozen forwards (vmapped), two v-trace scans and the loss
+    elementwise field (~24 passes over (T_traj, B, A) f32)."""
+    roll = rollout_model(A, T, depth, B, width, act_elt_bytes)
     t_traj = 2 * depth
     n = t_traj * B
     din = 2 * A * A
-    gather_bytes = n * packed_row_bytes(A, T)
+    # learner-side input traffic: stored obs (written once by the rollout,
+    # read once here) + f32 legal masks, instead of a packed-row re-gather
+    obs_bytes = n * din * act_elt_bytes * 2 + n * A * 4 * 2
     fwd_flops = mlp_flops_per_sample(A, width)
     flops = n * fwd_flops * (1 + 2 + 3)  # learner fwd + bwd(2x) + 3 frozen
-    act_bytes = 6 * n * (2 * din + A + 1) * 4
+    act_bytes = 6 * n * (2 * din + A + 1) * act_elt_bytes
     vtrace_bytes = 24 * n * A * 4
     return {"flops": roll["flops"] + flops,
-            "bytes": roll["bytes"] + float(gather_bytes + act_bytes
+            "bytes": roll["bytes"] + float(obs_bytes + act_bytes
                                            + vtrace_bytes),
             "env_half_steps": roll["env_half_steps"]}
 
