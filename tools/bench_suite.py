@@ -63,6 +63,10 @@ def main():
                              "high-branching ~1M-node tree (BASELINE cfg 3)")
     parser.add_argument("--lookup", choices=["gather", "pallas"],
                         default="gather")
+    parser.add_argument("--net", choices=["mlp", "conv"], default="mlp",
+                        help="actor/learner architecture: the default MLP "
+                             "or the AlphaZero-style CrossConv ConvNet "
+                             "(reference nn/net.py:88-227)")
     parser.add_argument("--fused-turn", action="store_true",
                         help="also bench the fully-fused Pallas rollout "
                              "turn (ops/pallas_turn.py; MLP + VMEM-table "
@@ -110,7 +114,17 @@ def main():
     emit("tree_generation", time.time() - t0, "s", size=tree.size)
 
     A = tree.max_actions
-    net = nets.build_net(NetConfig(type="MLP", max_actions=A, width=256))
+    def net_config(compute_dtype="float32"):
+        if args.net == "conv":
+            return NetConfig(type="ConvNet", max_actions=A, channels=16,
+                             depth=1, compute_dtype=compute_dtype)
+        return NetConfig(type="MLP", max_actions=A, width=256,
+                         compute_dtype=compute_dtype)
+
+    # the analytic roofline models the MLP towers; conv rows report raw
+    # throughput only
+    model_roofline = args.net == "mlp"
+    net = nets.build_net(net_config())
     variables = nets.init_variables(net, jax.random.PRNGKey(0), A)
     actor = lambda vs, obs: nets.apply_eval(net, vs, obs)
     T = 2 * tree.max_depth
@@ -142,10 +156,11 @@ def main():
         t0 = time.perf_counter()
         np.asarray(roll_many(tree, packed, variables, jax.random.PRNGKey(2)))
         dt = (time.perf_counter() - t0) / roll_iters
-        rmodel = roofline.rollout_model(A, tree.max_transitions,
-                                        tree.max_depth, B, net.width)
+        rmodel = (roofline.rollout_model(A, tree.max_transitions,
+                                         tree.max_depth, B, net.width)
+                  if model_roofline else None)
         emit("rollout_env_steps_per_s", T * B / dt, "steps/s", batch=B,
-             **roofline.annotate(rmodel, dt))
+             **(roofline.annotate(rmodel, dt) if model_roofline else {}))
 
         if args.fused_turn:
             from rnad_tpu.ops import pallas_turn
@@ -173,16 +188,15 @@ def main():
         train_iters = max(4, min(100, (1 << 22) // B))
 
         def bench_train(compute_dtype, suffix, dtype_label):
-            tmodel = roofline.train_model(
+            tmodel = (roofline.train_model(
                 A, tree.max_transitions, tree.max_depth, B, net.width,
                 act_elt_bytes=2 if dtype_label == "bfloat16" else 4)
+                if model_roofline else None)
             cfg = RNaDConfig(batch_size=B, eta=0.2, bounds=(1,),
                              delta_m=(1,), lr=1e-3, gamma_averaging=0.01,
                              logit_clip=2.0,
                              frozen_net_dtype=compute_dtype)
-            tnet = nets.build_net(NetConfig(type="MLP", max_actions=A,
-                                            width=256,
-                                            compute_dtype=compute_dtype))
+            tnet = nets.build_net(net_config(compute_dtype))
             train_step, *_ = rnad_lib.make_rnad_fns(tnet, tree, cfg)
             state = rnad_lib.init_train_state(tnet, jax.random.PRNGKey(0),
                                               A, cfg)
@@ -200,7 +214,8 @@ def main():
             losses = np.asarray(train_many(tree, packed, state))
             dt = (time.perf_counter() - t0) / train_iters
             assert np.isfinite(losses).all()
-            troof = roofline.annotate(tmodel, dt, dtype=dtype_label)
+            troof = (roofline.annotate(tmodel, dt, dtype=dtype_label)
+                     if model_roofline else {"dtype": dtype_label})
             emit("train_steps_per_s" + suffix, 1.0 / dt, "updates/s",
                  batch=B, **troof)
             emit("train_env_steps_per_s" + suffix, T * B / dt, "steps/s",
