@@ -47,21 +47,33 @@ def main():
     # pure device throughput — per-call tunnel latency (~30 ms on this
     # sandbox) neither pollutes nor pipelines into the number.  The result
     # is fetched by value, which also surfaces any deferred async error.
+    # Alongside the reward accumulator, every iteration records the std of
+    # per-lane episode lengths (one cheap reduction).  XLA:TPU was observed
+    # to collapse the per-lane PRNG inside large fused rollout programs
+    # (every lane rolls the identical episode — see
+    # tools/check_fused_consistency.py); collapsed lanes all gather the
+    # same table rows, which would silently inflate this benchmark, so the
+    # measured program asserts its own lane diversity.
     @jax.jit
     def run_many(tr, pk, vs, key):
-        def body(acc, k):
+        def body(carry, k):
             traj = engine.rollout(tr, actor, vs, k, batch, num_turns, pk)
-            return acc + traj.rewards.sum(), None
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0),
-                              jax.random.split(key, iters))
-        return acc
+            acc, min_std = carry
+            lens_std = jnp.std(traj.valid().sum(0))
+            return (acc + traj.rewards.sum(),
+                    jnp.minimum(min_std, lens_std)), None
+        carry, _ = jax.lax.scan(body, (jnp.float32(0.0), jnp.float32(1e9)),
+                                jax.random.split(key, iters))
+        return carry
 
     key = jax.random.PRNGKey(1)
-    np.asarray(run_many(tree, packed, variables, key))  # compile + warm
+    np.asarray(run_many(tree, packed, variables, key)[0])  # compile + warm
 
     t0 = time.perf_counter()
-    np.asarray(run_many(tree, packed, variables, jax.random.fold_in(key, 1)))
+    _, min_std = run_many(tree, packed, variables, jax.random.fold_in(key, 1))
+    min_std = float(np.asarray(min_std))
     dt = time.perf_counter() - t0
+    assert min_std > 0.0, "PRNG lane collapse in the measured program"
 
     half_steps = 2 * num_turns * batch * iters
     rate = half_steps / dt

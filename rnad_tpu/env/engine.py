@@ -56,16 +56,25 @@ class Trajectory:
     rewards: jax.Array  # (T, B) f32 — row-player reward (zero-sum)
     values: jax.Array  # (T, B) f32 — actor value estimates (mover's POV)
     # Optional stored per-half-step views (``rollout_from(store_obs=True)``).
-    # Observations/masks are pure functions of ``indices`` so they CAN always
-    # be re-derived via the packed-table gather — but the learner only needs
+    # Observations are pure functions of ``indices`` so they CAN always be
+    # re-derived via the packed-table gather — but the learner only needs
     # ~84 of the 512 bytes of each packed row, so at training batch sizes
     # storing the slim views during rollout (where the rows are already in
     # registers) and skipping the learner's re-gather moves ~6x less HBM
     # traffic.  ``obs`` is stored in a dtype wide enough that every
     # learner-side consumer sees the same bits after its own entry cast as
     # it would from the re-derived f32 path (see make_rnad_fns).
+    #
+    # The mover's legal mask is NOT stored separately: channel 1 of the
+    # mover's observation is their legal matrix, so the mask is exactly
+    # ``obs[..., 1, :, 0]`` (the reference reads it the same way,
+    # episode.py:208).  Besides being free, this matters for correctness:
+    # a dedicated (T, B, A) f32 mask buffer — a scan output with a
+    # far-below-tile trailing dim — was deterministically misread by
+    # XLA:TPU when consumed inside the large fused train-step program
+    # (785k-node tree, T=12, A=5, B=131072 on v5e; first symptom -inf
+    # NeuRD loss).  See tools/check_fused_consistency.py.
     obs: jax.Array | None = None  # (T, B, 2, A, A) mover's view per half-step
-    masks: jax.Array | None = None  # (T, B, A) f32 mover's legal mask
 
     @property
     def num_half_steps(self) -> int:
@@ -104,7 +113,10 @@ def trajectory_observations(packed: stepping.PackedTables, traj: Trajectory
     with a reshape.
     """
     if traj.obs is not None:
-        return traj.obs, traj.masks
+        # Mover's legal mask = column 0 of their legal matrix, stored as
+        # observation channel 1 (see the Trajectory.obs comment).  Exact in
+        # any stored dtype (legality is 0/1).
+        return traj.obs, traj.obs[..., 1, :, 0].astype(jnp.float32)
     T, B = traj.indices.shape
     A = packed.max_actions
     n_turns = T // 2
@@ -147,9 +159,9 @@ def rollout_from(tree: GameTree, actor_fn: ActorFn, variables,
     full turn = two emitted half-step records.
 
     ``store_obs`` additionally records each half-step's observation (cast to
-    ``obs_dtype``, e.g. the actor net's compute dtype) and legal mask in the
-    trajectory, sparing the learner the packed-row re-gather (see
-    ``Trajectory.obs``).
+    ``obs_dtype``, e.g. the actor net's compute dtype) in the trajectory,
+    sparing the learner the packed-row re-gather; the mover's legal mask is
+    a slice of it (see ``Trajectory.obs``).
     """
     if num_turns is None:
         num_turns = tree.max_depth
@@ -179,7 +191,6 @@ def rollout_from(tree: GameTree, actor_fn: ActorFn, variables,
             obs=((obs2 if obs_dtype is None else obs2.astype(obs_dtype))
                  .reshape((2, B) + row_obs.shape[1:])
                  if store_obs else None),
-            masks=legal.reshape(2, B, A) if store_obs else None,
         )
         return new_indices, record
 

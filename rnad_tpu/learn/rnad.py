@@ -283,14 +283,35 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
 
     @jax.jit
     def _train_step(tree, packed, state: TrainState, alpha: jax.Array):
-        """Fused on-policy step: rollout + learn + optimize + EMA."""
+        """Fused on-policy step: rollout + learn + optimize + EMA.
+
+        This exact program shape — optimization_barrier pinning the
+        trajectory between the phases, legal masks derived from the stored
+        observations rather than a dedicated (T, B, A) buffer (see
+        env/engine.py::Trajectory) — is verified bit-identical to running
+        rollout and learn as separate programs on real hardware, including
+        the largest single-chip config (785k-node tree, B=131072, f32),
+        where earlier fused-program shapes were miscompiled by XLA:TPU in
+        two different ways (misread mask buffer; collapsed per-lane PRNG).
+        After restructuring this function, re-run
+        tools/check_fused_consistency.py on TPU.  The barrier costs
+        nothing: scan outputs are materialized anyway."""
         state, traj = rollout_fn(tree, packed, state)
+        state, traj = jax.lax.optimization_barrier((state, traj))
         return learn_fn(packed, state, traj, alpha)
 
     _rollout_jit = jax.jit(rollout_fn)
     _learn_jit = jax.jit(learn_fn)
 
     def train_step(state, alpha):
+        if not cfg.store_rollout_obs:
+            # Regather mode keeps no per-step observation record, so the
+            # learner's masks come through the (T, B, A)-shaped trajectory
+            # buffers that the fused single-program form was observed to
+            # misread at large shapes (see _train_step).  Two programs are
+            # correct by construction; the cost is one extra dispatch.
+            state, traj = _rollout_jit(tree, packed_tables, state)
+            return _learn_jit(packed_tables, state, traj, alpha)
         return _train_step(tree, packed_tables, state, alpha)
 
     def rollout_jit(state):

@@ -96,8 +96,7 @@ def _traj_specs(traj: engine.Trajectory | None = None) -> engine.Trajectory:
         indices=lane2, policy=lane3, actions=lane2, rewards=lane2,
         values=lane2,
         obs=P(None, mesh_lib.DATA_AXIS, None, None, None) if has_obs
-        else None,
-        masks=lane3 if has_obs else None)
+        else None)
 
 
 def make_shard_map_train_step(net, tree: GameTree, cfg: RNaDConfig,
@@ -125,6 +124,11 @@ def make_shard_map_train_step(net, tree: GameTree, cfg: RNaDConfig,
                                    obs_dtype=jnp.promote_types(
                                        jnp.dtype(net.dtype),
                                        jnp.dtype(cfg.frozen_net_dtype)))
+        # Materialization point between rollout and learner — mirrors the
+        # verified program shape of make_rnad_fns._train_step (XLA:TPU
+        # miscompiled other shapes of the large fused program; see the
+        # comment there and tools/check_fused_consistency.py).
+        traj = jax.lax.optimization_barrier(traj)
         new_state, metrics = _per_shard_learn(net, tx, cfg, packed,
                                               state, traj, alpha)
         return new_state.replace(key=key), metrics

@@ -164,7 +164,7 @@ def test_stored_obs_matches_rederived(small_tree):
     plain = engine.rollout(t, actor, variables, key, 128, packed=packed)
     stored = engine.rollout(t, actor, variables, key, 128, packed=packed,
                             store_obs=True)
-    assert stored.obs is not None and stored.masks is not None
+    assert stored.obs is not None
     np.testing.assert_array_equal(np.asarray(stored.indices),
                                   np.asarray(plain.indices))
     np.testing.assert_array_equal(np.asarray(stored.actions),

@@ -143,19 +143,30 @@ def main():
         # does not affect compile time).
         roll_iters = max(4, min(200, (1 << 24) // B))
 
+        # The measured program asserts its own per-lane RNG diversity (std
+        # of episode lengths per iteration) — collapsed lanes would gather
+        # one row repeatedly and inflate the number (see bench.py and
+        # tools/check_fused_consistency.py).
         @jax.jit
         def roll_many(tr, pk, vs, key, B=B, n=roll_iters):
-            def body(acc, k):
+            def body(carry, k):
                 traj = engine.rollout(tr, actor, vs, k, B, tr.max_depth, pk)
-                return acc + traj.rewards.sum(), None
-            acc, _ = jax.lax.scan(body, jnp.float32(0.0),
-                                  jax.random.split(key, n))
-            return acc
+                acc, min_std = carry
+                return (acc + traj.rewards.sum(),
+                        jnp.minimum(min_std, jnp.std(traj.valid().sum(0)))
+                        ), None
+            carry, _ = jax.lax.scan(
+                body, (jnp.float32(0.0), jnp.float32(1e9)),
+                jax.random.split(key, n))
+            return carry
 
-        np.asarray(roll_many(tree, packed, variables, jax.random.PRNGKey(1)))
+        np.asarray(
+            roll_many(tree, packed, variables, jax.random.PRNGKey(1))[0])
         t0 = time.perf_counter()
-        np.asarray(roll_many(tree, packed, variables, jax.random.PRNGKey(2)))
+        _, min_std = roll_many(tree, packed, variables, jax.random.PRNGKey(2))
+        min_std = float(np.asarray(min_std))
         dt = (time.perf_counter() - t0) / roll_iters
+        assert min_std > 0.0, "PRNG lane collapse in the measured program"
         rmodel = (roofline.rollout_model(A, tree.max_transitions,
                                          tree.max_depth, B, net.width)
                   if model_roofline else None)
