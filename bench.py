@@ -48,20 +48,26 @@ def main():
     # sandbox) neither pollutes nor pipelines into the number.  The result
     # is fetched by value, which also surfaces any deferred async error.
     # Alongside the reward accumulator, every iteration records the std of
-    # per-lane episode lengths (one cheap reduction).  XLA:TPU was observed
-    # to collapse the per-lane PRNG inside large fused rollout programs
-    # (every lane rolls the identical episode — see
+    # a per-lane episode signature (reward value x termination time — the
+    # rewards buffer is nonzero exactly at the terminal transition).
+    # XLA:TPU was observed to collapse the per-lane PRNG inside large fused
+    # rollout programs (every lane rolls the identical episode — see
     # tools/check_fused_consistency.py); collapsed lanes all gather the
     # same table rows, which would silently inflate this benchmark, so the
-    # measured program asserts its own lane diversity.
+    # measured program asserts its own lane diversity.  The signature reads
+    # ONLY the rewards output the accumulator already keeps alive — deriving
+    # it from trajectory indices instead forces a second (T, B) scan output
+    # to materialize and costs ~25% at 131k lanes.
+    t_weights = jnp.arange(1.0, 2 * num_turns + 1.0)[:, None]
+
     @jax.jit
     def run_many(tr, pk, vs, key):
         def body(carry, k):
             traj = engine.rollout(tr, actor, vs, k, batch, num_turns, pk)
             acc, min_std = carry
-            lens_std = jnp.std(traj.valid().sum(0))
+            lane_sig_std = jnp.std((traj.rewards * t_weights).sum(0))
             return (acc + traj.rewards.sum(),
-                    jnp.minimum(min_std, lens_std)), None
+                    jnp.minimum(min_std, lane_sig_std)), None
         carry, _ = jax.lax.scan(body, (jnp.float32(0.0), jnp.float32(1e9)),
                                 jax.random.split(key, iters))
         return carry

@@ -143,17 +143,23 @@ def main():
         # does not affect compile time).
         roll_iters = max(4, min(200, (1 << 24) // B))
 
-        # The measured program asserts its own per-lane RNG diversity (std
-        # of episode lengths per iteration) — collapsed lanes would gather
-        # one row repeatedly and inflate the number (see bench.py and
-        # tools/check_fused_consistency.py).
+        # The measured program asserts its own per-lane RNG diversity —
+        # collapsed lanes would gather one row repeatedly and inflate the
+        # number (see bench.py and tools/check_fused_consistency.py).  The
+        # per-lane signature (reward x termination time) reads only the
+        # rewards output the accumulator already keeps alive; an
+        # indices-based length costs an extra (T, B) scan output (~25%
+        # at 131k lanes).
+        t_w = jnp.arange(1.0, T + 1.0)[:, None]
+
         @jax.jit
         def roll_many(tr, pk, vs, key, B=B, n=roll_iters):
             def body(carry, k):
                 traj = engine.rollout(tr, actor, vs, k, B, tr.max_depth, pk)
                 acc, min_std = carry
                 return (acc + traj.rewards.sum(),
-                        jnp.minimum(min_std, jnp.std(traj.valid().sum(0)))
+                        jnp.minimum(min_std,
+                                    jnp.std((traj.rewards * t_w).sum(0)))
                         ), None
             carry, _ = jax.lax.scan(
                 body, (jnp.float32(0.0), jnp.float32(1e9)),
@@ -208,10 +214,29 @@ def main():
                              logit_clip=2.0,
                              frozen_net_dtype=compute_dtype)
             tnet = nets.build_net(net_config(compute_dtype))
-            train_step, *_ = rnad_lib.make_rnad_fns(tnet, tree, cfg)
+            train_step, rollout_jit, learn_jit, _ = rnad_lib.make_rnad_fns(
+                tnet, tree, cfg)
             state = rnad_lib.init_train_state(tnet, jax.random.PRNGKey(0),
                                               A, cfg)
 
+            # Reference value for the self-check below: the first step
+            # through the split (correct-by-construction) programs.
+            s_ref, traj_ref = rollout_jit(state)
+            _, m_ref = learn_jit(s_ref, traj_ref, jnp.float32(0.5))
+            loss_ref = float(np.asarray(m_ref["loss"]))
+
+            # Preferred measurement: all iterations inside ONE jitted scan
+            # (no per-call dispatch in the number).  The scanned loop is a
+            # bench-only mega-program that XLA:TPU MISCOMPILES at some
+            # shapes (B>=131072 f32 demo tree: NaN losses from iteration 0
+            # while the per-step program is verified bit-exact vs the
+            # split programs — docs/PERF_ANALYSIS.md), so every run
+            # SELF-CHECKS: all losses finite and iteration 0 equal to the
+            # split-path reference.  If the check fails, fall back to
+            # measuring the production per-step program under a bounded
+            # dispatch pipeline (adds ~1 ms host overhead per step —
+            # negligible exactly at the large batches where the scan
+            # miscompiles, 20+ ms steps).
             @jax.jit
             def train_many(tr, pk, s0, n=train_iters):
                 def body(s, _):
@@ -220,13 +245,41 @@ def main():
                 s_out, losses = jax.lax.scan(body, s0, None, length=n)
                 return losses
 
-            np.asarray(train_many(tree, packed, state))  # compile + warm
-            t0 = time.perf_counter()
-            losses = np.asarray(train_many(tree, packed, state))
-            dt = (time.perf_counter() - t0) / train_iters
-            assert np.isfinite(losses).all()
+            losses = np.asarray(train_many(tree, packed, state))  # warm
+            scan_ok = (np.isfinite(losses).all()
+                       and np.isclose(losses[0], loss_ref,
+                                      rtol=1e-5, atol=1e-6))
+            if scan_ok:
+                t0 = time.perf_counter()
+                losses = np.asarray(train_many(tree, packed, state))
+                dt = (time.perf_counter() - t0) / train_iters
+                assert np.isfinite(losses).all()
+                assert np.isclose(losses[0], loss_ref, rtol=1e-5,
+                                  atol=1e-6)
+                method = "scan"
+            else:
+                print(json.dumps({"note": "scan-of-steps miscompiled "
+                                  "(self-check failed); measuring the "
+                                  "per-step program", "batch": B,
+                                  "dtype": dtype_label}), flush=True)
+                holder = {"s": state, "losses": []}
+
+                def one_step():
+                    s2, m = train_step(holder["s"], jnp.float32(0.5))
+                    holder["s"] = s2
+                    holder["losses"].append(m["loss"])
+                    return m["loss"]
+
+                dt = sustained(one_step, warmup=2,
+                               iters=max(8, train_iters // 2), depth=3)
+                final = np.asarray(
+                    jax.device_get(holder["losses"]), dtype=np.float64)
+                assert np.isfinite(final).all()
+                assert np.isclose(final[0], loss_ref, rtol=1e-5, atol=1e-6)
+                method = "per-step"
             troof = (roofline.annotate(tmodel, dt, dtype=dtype_label)
                      if model_roofline else {"dtype": dtype_label})
+            troof["method"] = method
             emit("train_steps_per_s" + suffix, 1.0 / dt, "updates/s",
                  batch=B, **troof)
             emit("train_env_steps_per_s" + suffix, T * B / dt, "steps/s",
@@ -253,9 +306,17 @@ def main():
                     "analytic speed-of-light bound of tools/roofline.py "
                     "(max of HBM-bytes time and MXU-FLOPs time for the "
                     "unavoidable work) divided by the measured time; "
-                    "`bound` names the binding side.  Per-phase trace "
-                    "attribution and the large-batch scaling analysis "
-                    "live in docs/PERF_ANALYSIS.md.\n\n"
+                    "`bound` names the binding side.  The model charges "
+                    "*ideal* MXU FLOPs; with the default net shape (K=18 "
+                    "against the 128-wide MXU) the achievable matmul rate "
+                    "is ~40% of peak, so the practical roof is several "
+                    "times closer than the ideal column suggests.  "
+                    "Per-phase trace attribution and the large-batch "
+                    "scaling analysis live in docs/PERF_ANALYSIS.md.  "
+                    "`train_steps_per_s` is the reference-bit-exact f32 "
+                    "mode; `_bf16` is the TPU-native bfloat16 compute "
+                    "mode (net + frozen passes bf16, gradients/optimizer "
+                    "f32).\n\n"
                     "| metric | batch | value | unit | %roof | bound |\n"
                     "|---|---|---|---|---|---|\n")
             for r in rows:
