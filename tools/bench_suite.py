@@ -141,7 +141,11 @@ def main():
         # Enough iterations that the ~20-30 ms per-program tunnel dispatch
         # is <2% of the measurement (the scan is rolled, so the trip count
         # does not affect compile time).
-        roll_iters = max(4, min(200, (1 << 24) // B))
+        # Long enough that the single dispatch round trip of the timed
+        # scan (~30 ms on this sandbox) is <5% even at the smallest batch;
+        # the scan is rolled, so the trip count does not affect compile
+        # time.
+        roll_iters = max(4, min(1024, (1 << 26) // B))
 
         # The measured program asserts its own per-lane RNG diversity —
         # collapsed lanes would gather one row repeatedly and inflate the
@@ -202,7 +206,7 @@ def main():
             emit("rollout_fused_turn_env_steps_per_s", T * B / dt,
                  "steps/s", batch=B, **roofline.annotate(rmodel, dt))
 
-        train_iters = max(4, min(100, (1 << 22) // B))
+        train_iters = max(4, min(1000, (1 << 23) // B))
 
         def bench_train(compute_dtype, suffix, dtype_label):
             tmodel = (roofline.train_model(
@@ -262,18 +266,31 @@ def main():
                                   "(self-check failed); measuring the "
                                   "per-step program", "batch": B,
                                   "dtype": dtype_label}), flush=True)
-                holder = {"s": state, "losses": []}
 
-                def one_step():
-                    s2, m = train_step(holder["s"], jnp.float32(0.5))
-                    holder["s"] = s2
-                    holder["losses"].append(m["loss"])
-                    return m["loss"]
+                # Chained async dispatch of the production per-step
+                # program: enqueue every step (each consumes the previous
+                # step's state, so the device runs them back-to-back,
+                # ~1 ms/call host enqueue hidden under the 20+ ms steps at
+                # these batch sizes), sync once at the end — the tunnel
+                # round trip is paid once, not per step.  In-flight state
+                # is just the small TrainState pytrees.
+                alpha = jnp.float32(0.5)
 
-                dt = sustained(one_step, warmup=2,
-                               iters=max(8, train_iters // 2), depth=3)
-                final = np.asarray(
-                    jax.device_get(holder["losses"]), dtype=np.float64)
+                def run_chain(s, n):
+                    losses = []
+                    for _ in range(n):
+                        s, m = train_step(s, alpha)
+                        losses.append(m["loss"])
+                    return s, losses
+
+                n = max(8, train_iters)
+                _, warm = run_chain(state, 2)
+                np.asarray(warm[-1])
+                t0 = time.perf_counter()
+                _, chain = run_chain(state, n)
+                np.asarray(chain[-1])  # sync + surface async errors
+                dt = (time.perf_counter() - t0) / n
+                final = np.asarray(jax.device_get(chain), dtype=np.float64)
                 assert np.isfinite(final).all()
                 assert np.isclose(final[0], loss_ref, rtol=1e-5, atol=1e-6)
                 method = "per-step"
@@ -294,8 +311,29 @@ def main():
         gc.collect()
 
     joint = nc.joint_policy_from_net(tree, actor, variables)
-    nconv = jax.jit(lambda tr, jp: nc.nashconv_pure(tr, jp).nashconv())
-    dt = sustained(nconv, tree, joint)
+    # All iterations in one jitted scan (the per-call tunnel round trip of
+    # this sandbox, ~25 ms, would otherwise swamp a millisecond-scale
+    # eval).  Each iteration perturbs the joint policy by a traced
+    # zero-in-f32 scale so XLA cannot hoist the loop-invariant induction.
+    nc_iters = max(4, min(64, (1 << 21) // tree.size))
+
+    @jax.jit
+    def nconv_many(tr, jp, n=nc_iters):
+        def body(acc, k):
+            jp_k = jp * (1.0 + 1e-30 * k)
+            return acc + nc.nashconv_pure(tr, jp_k).nashconv(), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0),
+                              jnp.arange(n, dtype=jnp.float32))
+        return acc
+
+    ref = float(np.asarray(
+        jax.jit(lambda tr, jp: nc.nashconv_pure(tr, jp).nashconv())(
+            tree, joint)))
+    total = float(np.asarray(nconv_many(tree, joint)))  # compile + warm
+    assert abs(total / nc_iters - ref) < 1e-4 * max(1.0, abs(ref))
+    t0 = time.perf_counter()
+    np.asarray(nconv_many(tree, joint))
+    dt = (time.perf_counter() - t0) / nc_iters
     emit("nashconv_eval", dt * 1e3, "ms", tree_size=tree.size)
 
     if args.write_doc:
@@ -320,10 +358,23 @@ def main():
                     "| metric | batch | value | unit | %roof | bound |\n"
                     "|---|---|---|---|---|---|\n")
             for r in rows:
-                f.write(f"| {r['metric']} | {r.get('batch', '-')} "
+                if "metric" not in r:
+                    continue  # informational notes (e.g. scan fallback)
+                name = r["metric"]
+                if r.get("method") == "per-step":
+                    # scan-of-steps self-check failed for this config; the
+                    # number is the per-step production program (see
+                    # docs/PERF_ANALYSIS.md)
+                    name += " *"
+                f.write(f"| {name} | {r.get('batch', '-')} "
                         f"| {r['value']:,} | {r['unit']} "
                         f"| {r.get('pct_of_roof', '-')} "
                         f"| {r.get('bound', '-')} |\n")
+            if any(r.get("method") == "per-step" for r in rows):
+                f.write("\n`*` scan-of-steps self-check failed for this "
+                        "config (XLA:TPU miscompile, docs/PERF_ANALYSIS.md)"
+                        "; the number measures the per-step production "
+                        "program via chained async dispatch.\n")
         print("wrote docs/PERF.md")
 
 
