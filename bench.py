@@ -39,8 +39,9 @@ def main():
 
     batch = 1 << 17  # 131072 lanes
     num_turns = tree.max_depth
-    iters = 128  # rollouts per timed device program (amortizes the ~25 ms
-    # per-program tunnel dispatch to <0.5% of the measurement)
+    iters = 512  # rollouts per timed device program (amortizes the ~30 ms
+    # per-program tunnel round trip to ~1% of the ~2.3 s measurement; the
+    # scan is rolled, so the trip count does not affect compile time)
     packed = stepping.make_packed_tables(tree)
 
     # All ITERS rollouts run inside ONE jitted scan, so the measurement is
