@@ -39,7 +39,11 @@ def main():
     p.add_argument("--tree-depth", type=int, default=4)
     p.add_argument("--transition-threshold", type=float, default=0.3)
     p.add_argument("--stochastic-depth", action="store_true",
-                   help="depth rule -1 with 50%% extra -2 (reference demo)")
+                   help="depth rule -1 with --stochastic-prob extra -2 "
+                        "(reference demo)")
+    p.add_argument("--stochastic-prob", type=float, default=0.5,
+                   help="probability of the extra -2 depth decrement when "
+                        "--stochastic-depth is set")
     p.add_argument("--native-gen", action="store_true",
                    help="use the C++ generator (fast for big trees)")
     # training
@@ -47,6 +51,19 @@ def main():
                    help="reference main.py hyperparameters")
     p.add_argument("--eta", type=float, default=0.2)
     p.add_argument("--batch-size", type=int, default=768)
+    # schedule / optimizer overrides (defaults: DeepNash paper values,
+    # reference rnad.py:40-64; the reference edits these in code)
+    p.add_argument("--bounds", type=int, nargs="+", default=None,
+                   help="(n, m) schedule period bounds, e.g. --bounds 30 "
+                        "60 90")
+    p.add_argument("--delta-m", type=int, nargs="+", default=None,
+                   help="steps per update period in each bounds segment")
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--gamma-avg", type=float, default=None,
+                   help="EMA rate of the target net (gamma_averaging)")
+    p.add_argument("--frozen-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="dtype of the 3 frozen-net learner forwards")
     p.add_argument("--net", choices=["MLP", "ConvNet"], default="MLP")
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--compute-dtype", default="float32",
@@ -81,7 +98,7 @@ def main():
         tree = checkpoint.load_tree(args.load_tree)
     else:
         depth_rule = (ShapingRule(delta=-1, stochastic_delta=-2,
-                                  stochastic_prob=0.5)
+                                  stochastic_prob=args.stochastic_prob)
                       if args.stochastic_depth else ShapingRule(delta=-1))
         tree_cfg = TreeConfig(
             max_actions=args.max_actions,
@@ -107,9 +124,15 @@ def main():
                          delta_m=(100,), lr=1e-3, gamma_averaging=0.01,
                          logit_clip=2.0, **buffer_kw)
     else:
-        # DeepNash paper schedule (reference rnad.py:40-64 defaults)
+        # DeepNash paper schedule (reference rnad.py:40-64 defaults),
+        # overridable per flag
+        override_kw = {k: v for k, v in dict(
+            bounds=tuple(args.bounds) if args.bounds else None,
+            delta_m=tuple(args.delta_m) if args.delta_m else None,
+            lr=args.lr, gamma_averaging=args.gamma_avg,
+            frozen_net_dtype=args.frozen_dtype).items() if v is not None}
         cfg = RNaDConfig(batch_size=args.batch_size, eta=args.eta,
-                         **buffer_kw)
+                         **buffer_kw, **override_kw)
 
     net_cfg = NetConfig(type=args.net, max_actions=tree.max_actions,
                         width=args.width, compute_dtype=args.compute_dtype)

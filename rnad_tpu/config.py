@@ -153,6 +153,12 @@ class RNaDConfig:
     # program, bounding eval memory on multi-million-node trees (extension;
     # the reference's metric is whole-tree, util/metric.py:51-82)
     nashconv_chunk_nodes: int = 200_000
+    # v-trace evaluation strategy: "scan" = sequential reverse lax.scan
+    # (bit-matches the reference recursion order), "associative" =
+    # parallel-in-time associative scan (learn/vtrace_assoc.py; O(log T)
+    # depth, shardable time axis), "auto" = scan for shallow trajectories
+    # and associative once T exceeds twice the scan-unroll cap.
+    vtrace_mode: str = "auto"
     # dtype of the 3 frozen-net forwards in the learner (EMA target +
     # regularization pair): "bfloat16" halves their HBM traffic and doubles
     # their MXU rate; the v-trace targets they feed are gradient-free, so

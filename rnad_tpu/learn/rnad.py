@@ -36,7 +36,7 @@ from ..metrics import nashconv as nashconv_lib
 from ..models import common, nets
 from ..ops import stepping
 from ..parallel.mesh import host_value
-from . import vtrace
+from . import vtrace, vtrace_assoc
 from .buffer import TrajectoryBuffer
 
 
@@ -161,7 +161,15 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
     log_policy_reg = jax.lax.stop_gradient(log_pi) - (
         alpha * log_pi_reg + (1.0 - alpha) * log_pi_reg_prev)
 
-    v_t2, played2, pol_t2 = vtrace.v_trace_both(
+    # Sequential scan for shallow trajectories (bit-matches the reference
+    # recursion order); parallel-in-time associative scan past the unroll
+    # cap, where the sequential dependency dominates (vtrace_assoc.py).
+    use_assoc = (cfg.vtrace_mode == "associative"
+                 or (cfg.vtrace_mode == "auto"
+                     and valid.shape[0] > 2 * vtrace.SCAN_UNROLL_CAP))
+    vt_both = (vtrace_assoc.v_trace_both_assoc if use_assoc
+               else vtrace.v_trace_both)
+    v_t2, played2, pol_t2 = vt_both(
         v_target_net, valid, player_id, traj.policy, pi_processed_sg,
         log_policy_reg, actions_oh, traj.rewards,
         eta=cfg.eta, lambda_=1.0, c=cfg.c_bar, rho=cfg.roh_bar,
