@@ -32,10 +32,17 @@ def _dataset(tree: GameTree):
 
     Row seat values are +v, column seat -v (zero-sum).  The absorbing state
     (node 0) is excluded via sample weights.
+
+    Observations are stored FLAT, (2S, 2*A*A): the (.., 2, A, A) form pads
+    its (A, A) minor dims to (8, 128) tiles in HBM — a 16x blowup at A=5
+    that alone overflows a v5e on ~800k-node trees.  The loss reshapes per
+    (mini)batch; the MLP immediately flattens again, so XLA cancels the
+    reshape pair.
     """
     A = tree.max_actions
     row_obs, col_obs = seat_observations(tree.expected_value, tree.legal)
     obs = jnp.concatenate([row_obs, col_obs], axis=0)  # (2S, 2, A, A)
+    obs = obs.reshape(obs.shape[0], 2 * A * A)
     pol = jnp.concatenate([tree.solution[:, :A], tree.solution[:, A:]],
                           axis=0)  # (2S, A)
     val = jnp.concatenate([tree.root_value[:, 0], -tree.root_value[:, 0]],
@@ -46,8 +53,11 @@ def _dataset(tree: GameTree):
     return obs, pol, val, weight
 
 
-def supervised_loss(params, aux, net, obs, target_pol, target_val, weight):
+def supervised_loss(params, aux, net, obs_flat, target_pol, target_val,
+                    weight):
     variables = dict(aux, params=params)
+    A = net.max_actions
+    obs = obs_flat.reshape(-1, 2, A, A)
     logits, value = nets.apply_eval(net, variables, obs)
     legal = obs[:, 1, :, 0]
     log_pi = common.masked_log_policy(logits, legal)
@@ -61,40 +71,62 @@ def supervised_loss(params, aux, net, obs, target_pol, target_val, weight):
 
 def train_oracle_net(tree: GameTree, net, key: jax.Array,
                      steps: int = 2000, lr: float = 1e-3,
-                     variables: Optional[Dict] = None
+                     variables: Optional[Dict] = None,
+                     node_batch: Optional[int] = None,
+                     eval_chunk_nodes: int = 200_000
                      ) -> Tuple[Dict, Dict[str, float]]:
     """Distills the exact solution into ``net``; returns (variables, metrics).
 
     Metrics include the final losses and the exact NashConv of the distilled
     policy — the architecture's approximation floor on this tree.
+
+    ``node_batch``: when set, each step trains on that many uniformly
+    (with-replacement) sampled node-seat rows instead of the full dataset —
+    required on big trees, where full-batch activations do not fit in HBM.
+    ``eval_chunk_nodes``: trees larger than this evaluate the final NashConv
+    through the chunked inference path (metrics/nashconv.py).
     """
     if variables is None:
         variables = nets.init_variables(net, key, tree.max_actions)
     obs, target_pol, target_val, weight = _dataset(tree)
     tx = optax.adam(lr)
     opt_state = tx.init(variables["params"])
+    n_rows = obs.shape[0]
 
     @jax.jit
-    def run(params, opt_state, obs, target_pol, target_val, weight):
-        def step(carry, _):
+    def run(params, opt_state, key, obs, target_pol, target_val, weight):
+        def step(carry, step_key):
             params, opt_state = carry
+            if node_batch is None:
+                batch = (obs, target_pol, target_val, weight)
+            else:
+                idx = jax.random.randint(step_key, (node_batch,), 0, n_rows)
+                batch = (obs[idx], target_pol[idx], target_val[idx],
+                         weight[idx])
             (loss, parts), grads = jax.value_and_grad(
-                supervised_loss, has_aux=True)(
-                    params, {}, net, obs, target_pol, target_val, weight)
+                supervised_loss, has_aux=True)(params, {}, net, *batch)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
         (params, opt_state), losses = jax.lax.scan(
-            step, (params, opt_state), None, length=steps)
+            step, (params, opt_state), jax.random.split(key, steps))
         return params, opt_state, losses
 
-    params, opt_state, losses = run(variables["params"], opt_state, obs,
+    params, opt_state, losses = run(variables["params"], opt_state,
+                                    jax.random.fold_in(key, 1), obs,
                                     target_pol, target_val, weight)
     variables = dict(variables, params=params)
 
     actor_fn = lambda vs, o: nets.apply_eval(net, vs, o)
-    joint = nashconv_lib.joint_policy_all_nodes(tree, actor_fn, variables)
-    result = nashconv_lib.nashconv(tree, joint)
+    if tree.size > eval_chunk_nodes:
+        joint = nashconv_lib.joint_policy_from_net(
+            tree, actor_fn, variables,
+            inference_batch_size=eval_chunk_nodes)
+        result = nashconv_lib.nashconv_root(tree, joint)
+    else:
+        joint = nashconv_lib.joint_policy_all_nodes(tree, actor_fn,
+                                                    variables)
+        result = nashconv_lib.nashconv(tree, joint)
     metrics = {
         "final_loss": float(losses[-1]),
         "nashconv": float(result.nashconv()),
