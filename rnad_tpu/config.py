@@ -102,7 +102,7 @@ class NetConfig:
     max_actions: int = 3
     width: int = 256  # MLP hidden width
     channels: int = 16  # ConvNet channels
-    depth: int = 1  # ConvNet residual tower depth
+    depth: int = 1  # ConvNet residual tower depth / MLP hidden layers
     batch_norm: bool = True  # ConvNet only
     # "float32" (default, matches the reference numerics) or "bfloat16"
     # (mixed precision: bf16 activations/matmuls on the MXU, f32 params and

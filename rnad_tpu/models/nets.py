@@ -34,8 +34,19 @@ from . import common
 
 
 class MLP(nn.Module):
+    """Two-headed MLP (reference nn/net.py:18-51).
+
+    ``depth`` is the number of hidden layers per head; the reference is
+    fixed at one (depth=1, the default — parameter names and checkpoints
+    stay interchangeable).  Deeper heads are a TPU-native extension: the
+    capacity floor of the one-layer net dominates approximation error on
+    large trees (tools/distill_floor.py), and width x width hidden matmuls
+    are far better MXU shapes than the tiny 2A^2 input contraction.
+    """
+
     max_actions: int
     width: int = 256
+    depth: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -50,12 +61,16 @@ class MLP(nn.Module):
             feat, name=name, dtype=self.dtype,
             kernel_init=common.torch_linear_kernel_init,
             bias_init=common.torch_bias_init(fan_in))
-        v = dense(self.width, din, "value_fc0")(x)
-        v = nn.relu(v)
-        v = dense(1, self.width, "value_fc1")(v)
-        p = dense(self.width, din, "policy_fc0")(x)
-        p = nn.relu(p)
-        logits = dense(A, self.width, "policy_fc1")(p)
+
+        def head(name: str, out_features: int) -> jax.Array:
+            h = nn.relu(dense(self.width, din, f"{name}_fc0")(x))
+            for i in range(1, self.depth):
+                h = nn.relu(dense(self.width, self.width,
+                                  f"{name}_hidden{i}")(h))
+            return dense(out_features, self.width, f"{name}_fc1")(h)
+
+        v = head("value", 1)
+        logits = head("policy", A)
         return logits, v
 
 
@@ -250,7 +265,7 @@ def build_net(config: NetConfig) -> nn.Module:
     dtype = jnp.dtype(config.compute_dtype)
     if config.type == "MLP":
         return MLP(max_actions=config.max_actions, width=config.width,
-                   dtype=dtype)
+                   depth=config.depth, dtype=dtype)
     if config.type == "ConvNet":
         return ConvNet(max_actions=config.max_actions,
                        channels=config.channels, depth=config.depth,

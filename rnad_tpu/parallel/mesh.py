@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import re
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -88,8 +90,12 @@ def mlp_param_spec(path: tuple, leaf) -> P:
     """Tensor-parallel layout for the MLP: hidden dimension over MODEL_AXIS.
 
     fc0 kernels are (in, width) -> shard width; fc1 kernels are (width, out)
-    -> shard width on the input side; biases of fc0 shard too; everything
-    else replicates.
+    -> shard width on the input side; biases of fc0 shard too.  Deep MLPs
+    (NetConfig.depth > 1) alternate Megatron-style: odd hidden layers are
+    row-parallel (input sharded, psum output), even ones column-parallel —
+    so consecutive layers chain without resharding.  Everything else
+    replicates; GSPMD inserts collectives wherever a chain breaks, so any
+    spec here is a layout hint, never a correctness requirement.
     """
     names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
     flat = "/".join(str(n) for n in names)
@@ -99,6 +105,12 @@ def mlp_param_spec(path: tuple, leaf) -> P:
         return P(MODEL_AXIS)
     if flat.endswith("fc1/kernel"):
         return P(MODEL_AXIS, None)
+    m = re.search(r"hidden(\d+)/(kernel|bias)$", flat)
+    if m is not None:
+        i, kind = int(m.group(1)), m.group(2)
+        if i % 2 == 1:  # row-parallel: (width_sharded, width)
+            return P(MODEL_AXIS, None) if kind == "kernel" else P()
+        return P(None, MODEL_AXIS) if kind == "kernel" else P(MODEL_AXIS)
     return P()
 
 

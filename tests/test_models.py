@@ -210,3 +210,24 @@ def test_mlp_multi_net_forward_matches_separate_applies():
                                    np.asarray(want_l), atol=1e-5)
         np.testing.assert_allclose(np.asarray(values4[:, i]),
                                    np.asarray(want_v), atol=1e-5)
+
+
+def test_mlp_depth_extension():
+    """depth=1 keeps the reference parameter names (checkpoint-compatible);
+    deeper heads stack width-x-width hidden layers and stay masked."""
+    A = 3
+    shallow = nets.build_net(NetConfig(type="MLP", max_actions=A, width=32))
+    v1 = nets.init_variables(shallow, jax.random.PRNGKey(0), A)
+    assert sorted(v1["params"]) == ["policy_fc0", "policy_fc1",
+                                    "value_fc0", "value_fc1"]
+
+    deep = nets.build_net(NetConfig(type="MLP", max_actions=A, width=32,
+                                    depth=3))
+    v3 = nets.init_variables(deep, jax.random.PRNGKey(0), A)
+    assert "policy_hidden2" in v3["params"] and "value_hidden2" in v3["params"]
+    assert v3["params"]["policy_hidden1"]["kernel"].shape == (32, 32)
+
+    obs = rand_obs(jax.random.PRNGKey(1), 9, A)
+    logits, value = nets.apply_eval(deep, v3, obs)
+    assert logits.shape == (9, A) and value.shape == (9,)
+    assert np.isfinite(np.asarray(logits)).all()

@@ -86,6 +86,27 @@ def test_model_parallel_mlp(small_tree):
 
 
 @requires_multidevice
+def test_model_parallel_deep_mlp(small_tree):
+    """depth>1 MLP under TP: alternating Megatron layout on the hidden
+    kernels (parallel/mesh.py::mlp_param_spec), step stays finite."""
+    cfg = RNaDConfig(batch_size=64, eta=0.2, bounds=(1,), delta_m=(2,),
+                     lr=1e-3, gamma_averaging=0.01, logit_clip=2.0)
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=64,
+                                   depth=3))
+    mesh = mesh_lib.make_mesh(model_parallelism=2)
+    (train_step, _, _, _), mesh, place_state = runtime.make_sharded_rnad_fns(
+        net, small_tree, cfg, mesh=mesh, model_parallel_mlp=True)
+    state = place_state(
+        rnad_lib.init_train_state(net, jax.random.PRNGKey(0), 3, cfg))
+    h1 = state.variables["params"]["policy_hidden1"]["kernel"]
+    h2 = state.variables["params"]["policy_hidden2"]["kernel"]
+    assert not h1.sharding.is_fully_replicated
+    assert not h2.sharding.is_fully_replicated
+    state, metrics = train_step(state, jnp.float32(0.5))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+@requires_multidevice
 def test_trainer_class_sharded_end_to_end(tmp_path, small_tree):
     """Full RNaD trainer driving the sharded step family on the mesh."""
     cfg = RNaDConfig(batch_size=64, eta=0.2, bounds=(1,), delta_m=(2,),

@@ -13,7 +13,7 @@ Usage:
       --net MLP:256 --net MLP:1024 --net ConvNet:24x2 \
       --steps 20000 --node-batch 65536 [--cpu]
 
-Net specs: ``MLP:<width>`` or ``ConvNet:<channels>x<depth>``.
+Net specs: ``MLP:<width>[x<depth>]`` or ``ConvNet:<channels>x<depth>``.
 Prints one JSON line per net (machine-readable, like bench_suite.py).
 """
 
@@ -32,8 +32,9 @@ def parse_net(spec: str, max_actions: int):
 
     kind, _, shape = spec.partition(":")
     if kind == "MLP":
+        w, _, d = (shape or "256").partition("x")
         return NetConfig(type="MLP", max_actions=max_actions,
-                         width=int(shape or 256))
+                         width=int(w), depth=int(d or 1))
     if kind == "ConvNet":
         ch, _, depth = (shape or "16x2").partition("x")
         return NetConfig(type="ConvNet", max_actions=max_actions,
