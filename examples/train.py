@@ -66,6 +66,9 @@ def main():
                    help="dtype of the 3 frozen-net learner forwards")
     p.add_argument("--net", choices=["MLP", "ConvNet"], default="MLP")
     p.add_argument("--width", type=int, default=256)
+    p.add_argument("--net-depth", type=int, default=1,
+                   help="MLP hidden layers / ConvNet residual blocks")
+    p.add_argument("--channels", type=int, default=16, help="ConvNet only")
     p.add_argument("--compute-dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--n-batches-per-buffer", type=int, default=1,
@@ -135,7 +138,9 @@ def main():
                          **buffer_kw, **override_kw)
 
     net_cfg = NetConfig(type=args.net, max_actions=tree.max_actions,
-                        width=args.width, compute_dtype=args.compute_dtype)
+                        width=args.width, depth=args.net_depth,
+                        channels=args.channels,
+                        compute_dtype=args.compute_dtype)
 
     trainer = rnad_lib.RNaD(tree, cfg, net_cfg, directory_name=args.name,
                             seed=args.seed, use_wandb=args.wandb)
