@@ -114,6 +114,26 @@ def mlp_param_spec(path: tuple, leaf) -> P:
     return P()
 
 
+def conv_param_spec(path: tuple, leaf) -> P:
+    """Tensor-parallel layout for the ConvNet: channels over MODEL_AXIS.
+
+    Flax conv kernels are (kh, kw, cin, cout) -> shard cout; per-channel
+    vectors (conv biases, BatchNorm scale/bias and running stats) shard
+    their single channel dim.  The dense policy/value heads replicate (their
+    flattened A*A*channels input mixes all channels anyway, so GSPMD
+    all-gathers once at the tower exit).  Like mlp_param_spec, this is a
+    layout hint — GSPMD inserts the collectives that keep any choice
+    correct.
+    """
+    names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+    flat = "/".join(str(n) for n in names)
+    if flat.endswith("/kernel") and getattr(leaf, "ndim", 0) == 4:
+        return P(None, None, None, MODEL_AXIS)
+    if getattr(leaf, "ndim", 0) == 1 and ("conv" in flat or "bn" in flat):
+        return P(MODEL_AXIS)
+    return P()  # dense policy/value heads (and anything unrecognized)
+
+
 def shard_variables(mesh: Mesh, variables, spec_fn=None):
     """Places a variables pytree on the mesh (replicated unless spec_fn says
     otherwise)."""

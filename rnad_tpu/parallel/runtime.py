@@ -26,6 +26,7 @@ import jax
 from ..config import RNaDConfig
 from ..env.tree import GameTree
 from ..learn import rnad as rnad_lib
+from ..models import nets as nets_lib
 from . import mesh as mesh_lib
 
 
@@ -51,7 +52,9 @@ def make_sharded_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
                           mesh: Optional[jax.sharding.Mesh] = None,
                           model_parallel_mlp: bool = False):
     """Builds the train-step family with lane sharding over the mesh's data
-    axis (and optional MLP tensor parallelism over the model axis).
+    axis (and optional tensor parallelism over the model axis —
+    ``model_parallel_mlp=True`` picks the layout matching the net family:
+    hidden width for the MLP, channels for the ConvNet).
 
     Parameters stay replicated (or model-sharded); the per-lane batch shards
     over data; GSPMD inserts the gradient psum because the parameter update
@@ -67,7 +70,12 @@ def make_sharded_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
     fns = rnad_lib.make_rnad_fns(net, tree, cfg, constrain_batch=constrain)
 
     def place_state(state: rnad_lib.TrainState) -> rnad_lib.TrainState:
-        spec_fn = mesh_lib.mlp_param_spec if model_parallel_mlp else None
+        if not model_parallel_mlp:
+            spec_fn = None
+        elif isinstance(net, nets_lib.ConvNet):
+            spec_fn = mesh_lib.conv_param_spec
+        else:
+            spec_fn = mesh_lib.mlp_param_spec
         place_params = lambda vs: mesh_lib.shard_variables(mesh, vs, spec_fn)
         return state.replace(
             variables=place_params(state.variables),
