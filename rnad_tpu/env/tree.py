@@ -292,13 +292,17 @@ def depth_from_index(index: np.ndarray, chance: np.ndarray) -> np.ndarray:
     index = np.asarray(index)
     reachable = (index > 0) & (np.asarray(chance) > 0)
     depth = np.zeros(index.shape[0], dtype=np.int64)
-    while True:
+    # A well-formed index (child id > parent id) reaches the fixpoint in
+    # max_depth <= size passes; a cyclic one — e.g. a malformed imported
+    # tree.tar — never would, so bound the loop instead of hanging.
+    for _ in range(index.shape[0] + 1):
         child = np.where(reachable, depth[index], 0)
         new = 1 + child.max(axis=(1, 2, 3))
         new[0] = 0
         if np.array_equal(new, depth):
             return depth
         depth = new
+    raise ValueError("index tensor contains a cycle (not a tree)")
 
 
 # ---------------------------------------------------------------------------
@@ -309,7 +313,14 @@ def depth_from_index(index: np.ndarray, chance: np.ndarray) -> np.ndarray:
 def assert_index_is_tree(tree: GameTree) -> None:
     """The index tensor describes a tree iff its nonzero entries are strictly
     increasing (child id > parent id) and one-to-one with [2, size)."""
-    index = np.asarray(tree.index)
+    assert_index_array_is_tree(np.asarray(tree.index))
+
+
+def assert_index_array_is_tree(index: np.ndarray) -> None:
+    """Raw-array form of :func:`assert_index_is_tree` — usable before a
+    GameTree is constructed (e.g. on imported reference tensors, where the
+    depth computation requires acyclicity first)."""
+    index = np.asarray(index)
     nonzero = np.sort(index[index != 0].ravel())
     expected = np.arange(2, 2 + nonzero.size)
     if not np.array_equal(nonzero, expected):

@@ -72,16 +72,22 @@ class TrajectoryBuffer:
                                     room / total_room)
             counts = np.minimum(counts + extra, sizes)
         overflow = batch_size - int(counts.sum())  # > 0 only if buffer < batch
+        if overflow > 0:
+            # with-replacement remainder, spread lane-uniformly over the
+            # whole buffer (not dumped on one slot, which would overweight
+            # its episodes in the off-policy gradient)
+            extras = rng.multinomial(overflow, sizes / sizes.sum())
+        else:
+            extras = np.zeros_like(counts)
         parts = []
-        for i, (traj, count) in enumerate(zip(self.slots, counts)):
-            extra = overflow if i == 0 else 0
+        for traj, count, extra in zip(self.slots, counts, extras):
             if count + extra == 0:
                 continue
             lanes = rng.choice(traj.batch_size, size=int(count),
                                replace=False)
             if extra:
                 lanes = np.concatenate(
-                    [lanes, rng.choice(traj.batch_size, size=extra,
+                    [lanes, rng.choice(traj.batch_size, size=int(extra),
                                        replace=True)])
             lanes = jnp.asarray(lanes)
             parts.append(jax.tree.map(lambda x: x[:, lanes], traj))

@@ -226,6 +226,15 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
     return loss, (mutated, metrics)
 
 
+def obs_storage_dtype(net, cfg: RNaDConfig):
+    """Stored-observation dtype: wide enough that every learner-side
+    consumer (learner net AND frozen nets) sees bit-identical inputs to the
+    re-derived f32 path after its own entry cast.  Single source of truth
+    for every step family (fused, sharded, shard_map)."""
+    return jnp.promote_types(jnp.dtype(net.dtype),
+                             jnp.dtype(cfg.frozen_net_dtype))
+
+
 def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
                   constrain_batch: Optional[Callable] = None):
     """Builds the jitted step functions.
@@ -237,11 +246,7 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
     actor_fn = lambda variables, obs: nets.apply_eval(net, variables, obs)
     tx = make_optimizer(cfg)
     packed_tables = stepping.make_packed_tables(tree)
-    # Stored-observation dtype: wide enough that every learner-side consumer
-    # (learner net AND frozen nets) sees bit-identical inputs to the
-    # re-derived f32 path after its own entry cast.
-    obs_store_dtype = jnp.promote_types(jnp.dtype(net.dtype),
-                                        jnp.dtype(cfg.frozen_net_dtype))
+    obs_store_dtype = obs_storage_dtype(net, cfg)
 
     # tree/packed are threaded as explicit jit arguments (not closure
     # constants) so large game tables are runtime inputs, never baked into

@@ -100,8 +100,12 @@ class CrossConv(nn.Module):
 class MaskedBatchNorm(nn.Module):
     """BatchNorm whose batch statistics can exclude masked-out samples.
 
-    With ``mask=None`` this reproduces ``nn.BatchNorm`` exactly (same
-    variable names/shapes, so checkpoints are interchangeable).  With a
+    With ``mask=None`` this matches ``nn.BatchNorm`` semantically and keeps
+    identical variable names/shapes (checkpoints are interchangeable), but
+    not bitwise: flax's default fast variance computes E[x^2] - mu^2 while
+    this module uses the two-pass E[(x - mu)^2], which rounds differently
+    at the ulp level (the two-pass form is what the masked weighting
+    needs, and is the numerically safer of the two).  With a
     per-sample 0/1 ``mask`` the train-mode mean/variance are weighted over
     valid samples only: the trainer feeds fixed-length (T = 2*max_depth)
     trajectories, so without masking the many absorbing-state padding rows
@@ -213,7 +217,16 @@ def mlp_fused_weights(params: dict, max_actions: int):
     value_fc0] (din, 2W); W1 block-diagonal (2W, A+1) mapping the policy
     half to logits and the value half to column A.  Two matmuls instead of
     four — the heads never interact (block structure), so outputs are the
-    same math with a wider reduction-free concat."""
+    same math with a wider reduction-free concat.
+
+    Only the reference-shaped depth-1 MLP is supported: deeper heads
+    (NetConfig.depth > 1) carry ``*_hidden{i}`` layers this packing cannot
+    express, so they are rejected rather than silently dropped."""
+    hidden = [k for k in params if "hidden" in k]
+    if hidden:
+        raise ValueError(
+            f"mlp_fused_weights supports depth=1 MLPs only; params contain "
+            f"hidden layers {sorted(hidden)}")
     A = max_actions
     p0, v0 = params["policy_fc0"], params["value_fc0"]
     p1, v1 = params["policy_fc1"], params["value_fc1"]

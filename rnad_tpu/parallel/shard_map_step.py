@@ -26,7 +26,11 @@ Numerical relationship to the GSPMD path, precisely:
     step-for-step identical.
 
 The EMA/optimizer update runs replicated from the psum-reduced gradients, so
-parameters stay bitwise identical across devices.
+parameters stay bitwise identical across devices.  ConvNet BatchNorm is the
+one deliberate semantic difference: batch statistics normalize over each
+shard's lanes (non-sync BN, the standard data-parallel choice), while the
+GSPMD path normalizes over the global batch; the running-stat EMAs are
+pmean-combined so the stored variables remain identical across devices.
 """
 
 from __future__ import annotations
@@ -69,6 +73,17 @@ def _per_shard_learn(net, tx, cfg: RNaDConfig, packed,
     # every shard).
     grads = jax.lax.pmean(grads, mesh_lib.DATA_AXIS)
     metrics["gradient_norm"] = optax.global_norm(grads)
+
+    # Mutated collections (ConvNet BatchNorm running stats) are computed
+    # from each shard's local lanes — batch *normalization* inside the
+    # forward is per-shard (the standard non-sync-BN data-parallel
+    # semantic; the GSPMD path normalizes over the global batch instead).
+    # The running-stat EMAs must still be combined, or every device would
+    # carry different variables and the replicated out_spec would stitch
+    # garbage: pmean is exact for the means and the standard within-shard
+    # approximation for the variances.
+    if mutated:
+        mutated = jax.lax.pmean(mutated, mesh_lib.DATA_AXIS)
 
     updates, opt_state = tx.update(grads, state.opt_state,
                                    state.variables["params"])
@@ -121,9 +136,8 @@ def make_shard_map_train_step(net, tree: GameTree, cfg: RNaDConfig,
         traj = engine.rollout_from(tree, actor_fn, state.variables, k_roll,
                                    init, tree.max_depth, packed,
                                    store_obs=cfg.store_rollout_obs,
-                                   obs_dtype=jnp.promote_types(
-                                       jnp.dtype(net.dtype),
-                                       jnp.dtype(cfg.frozen_net_dtype)))
+                                   obs_dtype=rnad_lib.obs_storage_dtype(
+                                       net, cfg))
         # Materialization point between rollout and learner — mirrors the
         # verified program shape of make_rnad_fns._train_step (XLA:TPU
         # miscompiled other shapes of the large fused program; see the

@@ -82,6 +82,11 @@ def load_reference_tree(path: str) -> tree_lib.GameTree:
 
     index = arr("index_tensor", np.int32)
     chance = arr("chance_tensor", np.float32)
+    # Validate structure BEFORE the depth fixpoint: child id > parent id
+    # guarantees acyclicity, so depth_from_index converges in max_depth
+    # passes.  On a malformed/cyclic tar the fixpoint would grind through
+    # its (bounded) worst case instead of raising immediately.
+    tree_lib.assert_index_array_is_tree(index)
     depth = tree_lib.depth_from_index(index, chance)
     tree = tree_lib.GameTree(
         index=jnp.asarray(index),
@@ -97,7 +102,6 @@ def load_reference_tree(path: str) -> tree_lib.GameTree:
         max_depth=int(depth[1]),
         hash=int(saved["hash"]),
     )
-    tree_lib.assert_index_is_tree(tree)
     return tree
 
 

@@ -231,3 +231,15 @@ def test_mlp_depth_extension():
     logits, value = nets.apply_eval(deep, v3, obs)
     assert logits.shape == (9, A) and value.shape == (9,)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_fused_weights_reject_deep_mlp():
+    """mlp_fused_weights packs only the depth-1 reference MLP; deeper
+    params must raise rather than silently compute a shallower net."""
+    import pytest
+
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16,
+                                   depth=2))
+    v = nets.init_variables(net, jax.random.PRNGKey(0), 3)
+    with pytest.raises(ValueError, match="depth=1"):
+        nets.mlp_fused_weights(v["params"], 3)

@@ -150,6 +150,27 @@ def test_buffer_exact_split_small_slots(small_tree):
     sample = buf.sample(30, rng)
     assert sample.batch_size == 30
 
+    # the with-replacement remainder must spread across slots, not pile on
+    # slot 0 (which would overweight its episodes in the off-policy
+    # gradient).  Tag each slot's lanes through the values field and check
+    # the per-slot sample shares stay near-uniform on average.
+    import jax as _jax
+    tagged = [_jax.tree.map(lambda x: x, traj8) for _ in range(3)]
+    tagged = [t.replace(values=jnp.full_like(t.values, float(i)))
+              for i, t in enumerate(tagged)]
+    buf2 = TrajectoryBuffer(4)
+    for t in tagged:
+        buf2.append(t)
+    counts = np.zeros(3)
+    draws = 60
+    for s in range(draws):
+        samp = buf2.sample(30, np.random.default_rng(s))
+        tags = np.asarray(samp.values[0]).astype(int)
+        for i in range(3):
+            counts[i] += (tags == i).sum()
+    shares = counts / (30 * draws)
+    assert abs(shares - 1 / 3).max() < 0.05, shares
+
 
 def test_offpolicy_resume_empty_buffer(tmp_path, small_tree):
     """Resume at a total_steps not divisible by buffer_mod must roll out

@@ -181,6 +181,50 @@ def test_shard_map_learn_matches_single_device(small_tree):
 
 
 @requires_multidevice
+def test_shard_map_convnet_bn_stats_combined(small_tree):
+    """ConvNet+BN under shard_map: batch normalization is per-shard
+    (non-sync BN), but the running-stat EMAs must be pmean-combined so all
+    devices carry identical variables — the merged stats must equal the
+    mean over lane slices of the unsharded learn_loss's mutated stats."""
+    from rnad_tpu.ops import stepping
+    from rnad_tpu.parallel import shard_map_step
+
+    cfg = RNaDConfig(batch_size=64, eta=0.2, bounds=(1,), delta_m=(2,),
+                     lr=1e-3, gamma_averaging=0.01, logit_clip=2.0)
+    net = nets.build_net(NetConfig(type="ConvNet", max_actions=3,
+                                   channels=8, depth=1, batch_norm=True))
+    _, rollout_jit, _, _ = rnad_lib.make_rnad_fns(net, small_tree, cfg)
+    state0 = rnad_lib.init_train_state(net, jax.random.PRNGKey(0), 3, cfg)
+    _, traj = rollout_jit(state0)
+
+    mesh = mesh_lib.make_mesh()
+    learn_sm = shard_map_step.make_shard_map_learn_step(net, small_tree,
+                                                        cfg, mesh)
+    state_b, metrics_b = learn_sm(state0, traj, 0.5)
+    assert np.isfinite(float(metrics_b["loss"]))
+
+    # BN statistics are purely local to a shard, so each shard's mutated
+    # collection equals the unsharded learn_loss run on its lane slice.
+    packed = stepping.make_packed_tables(small_tree)
+    aux = {k: v for k, v in state0.variables.items() if k != "params"}
+    n = mesh.shape[mesh_lib.DATA_AXIS]
+    per = traj.indices.shape[1] // n
+    slices = []
+    for i in range(n):
+        sl = jax.tree.map(lambda x: x[:, i * per:(i + 1) * per], traj)
+        _, (mutated, _) = rnad_lib.learn_loss(
+            state0.variables["params"], aux, net, state0.variables_target,
+            state0.variables_reg, state0.variables_reg_, packed, sl,
+            jnp.float32(0.5), cfg)
+        slices.append(mutated["batch_stats"])
+    expected = jax.tree.map(
+        lambda *xs: np.mean([np.asarray(x) for x in xs], axis=0), *slices)
+    got = state_b.variables["batch_stats"]
+    jax.tree.map(lambda e, g: np.testing.assert_allclose(
+        e, np.asarray(g), rtol=1e-5, atol=1e-7), expected, got)
+
+
+@requires_multidevice
 def test_gspmd_mesh_size_invariance(small_tree):
     """Same seed, data-axis sizes {1, 2, 4, 8}: the GSPMD path must roll out
     bit-identical trajectories (partitionable threefry: lane randomness is a

@@ -105,3 +105,17 @@ def test_native_treegen():
     assert t2.hash == t.hash
     t3 = tree_lib.generate_tree_native(STOCHASTIC_CFG, seed=6)
     assert t3.hash != t.hash
+
+
+def test_index_cycle_rejected_before_depth():
+    """A cyclic index tensor (possible only in malformed imported data) is
+    rejected by the structural check — which the tree.tar importer runs
+    BEFORE the depth fixpoint, so a bad tar raises instead of grinding."""
+    import pytest
+
+    # node 2 points back at node 1: a non-increasing edge (cycle enabler)
+    index = np.zeros((3, 1, 2, 2), dtype=np.int32)
+    index[1, 0, 0, 0] = 2
+    index[2, 0, 0, 0] = 1
+    with pytest.raises(AssertionError):
+        tree_lib.assert_index_array_is_tree(index)

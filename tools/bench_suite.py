@@ -124,6 +124,9 @@ def main():
     # the analytic roofline models the MLP towers; conv rows report raw
     # throughput only
     model_roofline = args.net == "mlp"
+    if args.fused_turn and args.net != "mlp":
+        raise SystemExit("--fused-turn requires --net mlp (the Pallas turn "
+                         "kernel fuses the depth-1 MLP actor)")
     net = nets.build_net(net_config())
     variables = nets.init_variables(net, jax.random.PRNGKey(0), A)
     actor = lambda vs, obs: nets.apply_eval(net, vs, obs)
