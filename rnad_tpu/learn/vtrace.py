@@ -71,24 +71,18 @@ def player_others(player_ids: jax.Array, valid: jax.Array,
 
 def has_played(valid: jax.Array, player_id: jax.Array,
                player: int) -> jax.Array:
-    """Mask of steps that have a successor step for ``player``
-    (reference vtrace.py:141-177)."""
+    """Mask of the player's own valid steps (reference vtrace.py:141-177).
 
-    def loop(carry, x):
-        v, mine = x
-        out = _select(v, _select(mine, jnp.ones_like(carry), carry),
-                      jnp.zeros_like(carry))
-        new_carry = _select(v, carry, jnp.zeros_like(carry))
-        return new_carry, out
-
-    # The player comparison is hoisted out of the scan: scanning the raw
-    # s32 player ids materializes them (T, players, B) under the vmap in
-    # v_trace_both and slices that buffer per unrolled step, while the
-    # bool mask is 4x smaller and folds when ids are a broadcast iota.
-    init = jnp.zeros_like(player_id[-1])
-    _, result = jax.lax.scan(loop, init, (valid, player_id == player),
-                             reverse=True, unroll=_unroll(valid.shape[0]))
-    return result
+    The reference (and the OpenSpiel original it ports) computes this with
+    a reverse scan whose carry is dead given the all-zeros init: the body's
+    new carry is ``where(valid, carry, 0)`` — it never absorbs a 1 — so the
+    recursion collapses to the closed form ``valid & (player_id ==
+    player)`` exactly (verified elementwise against the scan in
+    tests/test_vtrace_assoc.py::test_has_played_closed_form).  The closed
+    form is O(1) depth: no sequential dependency, nothing to unroll, and
+    the time axis stays shardable in the associative-scan learner path."""
+    return jnp.where((valid > 0) & (player_id == player),
+                     jnp.ones_like(player_id), jnp.zeros_like(player_id))
 
 
 def policy_ratio(pi: jax.Array, mu: jax.Array, actions_oh: jax.Array,

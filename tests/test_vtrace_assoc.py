@@ -207,3 +207,25 @@ def test_v_trace_assoc_time_sharded():
     for r, g in zip(ref, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_has_played_closed_form():
+    """has_played's reference recursion (reverse scan, zero init) is
+    exactly valid & (player_id == player): the scan body's carry is
+    where(valid, carry, 0), which never absorbs a 1 from a zero init.
+    Pin the equivalence against a literal transcription of the scan."""
+    rng = np.random.default_rng(3)
+    T, B = 16, 7
+    valid = jnp.asarray((rng.random((T, B)) < 0.7).astype(np.float32))
+    pid = jnp.asarray(rng.integers(0, 2, (T, B)).astype(np.int32))
+
+    for player in (0, 1):
+        carry = np.zeros(B, dtype=np.int32)
+        outs = np.zeros((T, B), dtype=np.int32)
+        for t in range(T - 1, -1, -1):
+            v = np.asarray(valid[t]) > 0
+            mine = np.asarray(pid[t]) == player
+            outs[t] = np.where(v, np.where(mine, 1, carry), 0)
+            carry = np.where(v, carry, 0)
+        got = np.asarray(sv.has_played(valid, pid, player))
+        np.testing.assert_array_equal(got, outs)
