@@ -517,7 +517,9 @@ class RNaD:
             logging.info("m: %d, delta_m: %d", self.m, delta_m)
             buffer.max_size = cfg.n_batches_per_buffer
 
-            if self.m % expl_mod == 0 and self.n == 0 and self.m != 0:
+            # expl_mod <= 0 disables the (expensive, whole-tree) eval
+            if (expl_mod > 0 and self.m % expl_mod == 0 and self.n == 0
+                    and self.m != 0):
                 value = self.nashconv()
                 self.logger.log({"nashconv": value},
                                 int(host_value(self.state.total_steps)))
