@@ -64,11 +64,13 @@ def main():
     p.add_argument("--frozen-dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="dtype of the 3 frozen-net learner forwards")
-    p.add_argument("--net", choices=["MLP", "ConvNet"], default="MLP")
+    p.add_argument("--net", choices=["MLP", "ConvNet", "EquiNet"],
+                   default="MLP")
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--net-depth", type=int, default=1,
-                   help="MLP hidden layers / ConvNet residual blocks")
-    p.add_argument("--channels", type=int, default=16, help="ConvNet only")
+                   help="MLP hidden / ConvNet residual / EquiNet layers")
+    p.add_argument("--channels", type=int, default=16,
+                   help="ConvNet / EquiNet only")
     p.add_argument("--compute-dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--n-batches-per-buffer", type=int, default=1,

@@ -98,11 +98,11 @@ class TreeConfig:
 class NetConfig:
     """Network architecture selection (reference learn/rnad.py:145-151)."""
 
-    type: str = "MLP"  # "MLP" | "ConvNet"
+    type: str = "MLP"  # "MLP" | "ConvNet" | "EquiNet"
     max_actions: int = 3
     width: int = 256  # MLP hidden width
-    channels: int = 16  # ConvNet channels
-    depth: int = 1  # ConvNet residual tower depth / MLP hidden layers
+    channels: int = 16  # ConvNet / EquiNet channels
+    depth: int = 1  # ConvNet residual tower / MLP hidden / EquiNet layers
     batch_norm: bool = True  # ConvNet only
     # "float32" (default, matches the reference numerics) or "bfloat16"
     # (mixed precision: bf16 activations/matmuls on the MXU, f32 params and

@@ -212,6 +212,74 @@ class ConvNet(nn.Module):
         return logits.reshape(lead + (A,)), value.reshape(lead + (1,))
 
 
+class EquiNet(nn.Module):
+    """Permutation-equivariant policy/value net (TPU-native extension; no
+    reference counterpart — the reference's families are the MLP and the
+    CrossConv ConvNet, reference nn/net.py).
+
+    The function the net must represent is the Nash-equilibrium map
+    payoff-matrix -> (NE strategy, game value), and that map is exactly
+    equivariant: relabeling the mover's actions by a permutation sigma and
+    the opponent's by tau permutes the NE strategy by sigma and leaves the
+    value unchanged.  The MLP and ConvNet have to *learn* this symmetry
+    from data; this net encodes it, which collapses the hypothesis space by
+    ~(A!)^2 per matrix and empirically floors far below either family at
+    equal parameter count (docs/SCALE.md).
+
+    Architecture: a tower of exchangeable matrix layers (the
+    row/column-exchangeable linear layer of Hartford et al. 2018, "Deep
+    Models of Interactions Across Sets"): each layer concatenates, per cell,
+    the cell features with the cell's row-mean, column-mean and global-mean
+    features and mixes channels with one dense matmul — so the whole tower
+    is reductions + (N*A*A, 4C) x (4C, C) matmuls, an MXU-friendly shape.
+    The policy head pools each row over columns (row-equivariant,
+    column-invariant) and the value head pools globally (invariant); both
+    symmetries hold by construction, see
+    tests/test_models.py::test_equinet_equivariance.
+    """
+
+    max_actions: int
+    channels: int = 128
+    depth: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, obs: jax.Array, train: bool = False,
+                 mask: jax.Array | None = None
+                 ) -> Tuple[jax.Array, jax.Array]:
+        del train, mask  # no batch statistics to protect
+        A = self.max_actions
+        lead = obs.shape[:-3]
+        # (..., 2, A, A) -> (N, A, A, 2): rows = mover actions, cols =
+        # opponent actions, channels = [expected value, legality].
+        x = obs.reshape((-1, 2, A, A)).transpose(0, 2, 3, 1)
+        x = x.astype(self.dtype)
+
+        def pools(h: jax.Array) -> jax.Array:
+            rm = jnp.broadcast_to(h.mean(axis=2, keepdims=True), h.shape)
+            cm = jnp.broadcast_to(h.mean(axis=1, keepdims=True), h.shape)
+            gm = jnp.broadcast_to(h.mean(axis=(1, 2), keepdims=True), h.shape)
+            return jnp.concatenate([h, rm, cm, gm], axis=-1)
+
+        for i in range(self.depth):
+            p = pools(x)
+            fan_in = p.shape[-1]
+            x = nn.relu(nn.Dense(
+                self.channels, name=f"ex{i}", dtype=self.dtype,
+                kernel_init=common.torch_linear_kernel_init,
+                bias_init=common.torch_bias_init(fan_in))(p))
+
+        head = lambda feat, fan_in, name: nn.Dense(
+            feat, name=name, dtype=self.dtype,
+            kernel_init=common.torch_linear_kernel_init,
+            bias_init=common.torch_bias_init(fan_in))
+        row_feat = x.mean(axis=2)                      # (N, A, C)
+        glob = x.mean(axis=(1, 2))                     # (N, C)
+        logits = head(1, self.channels, "policy")(row_feat)[..., 0]
+        value = head(1, self.channels, "value")(glob)
+        return logits.reshape(lead + (A,)), value.reshape(lead + (1,))
+
+
 def mlp_fused_weights(params: dict, max_actions: int):
     """Packs the two-head MLP into one fused pair: W0 = [policy_fc0 |
     value_fc0] (din, 2W); W1 block-diagonal (2W, A+1) mapping the policy
@@ -283,6 +351,10 @@ def build_net(config: NetConfig) -> nn.Module:
         return ConvNet(max_actions=config.max_actions,
                        channels=config.channels, depth=config.depth,
                        batch_norm=config.batch_norm, dtype=dtype)
+    if config.type == "EquiNet":
+        return EquiNet(max_actions=config.max_actions,
+                       channels=config.channels, depth=config.depth,
+                       dtype=dtype)
     raise ValueError(f"unknown net type: {config.type}")
 
 

@@ -134,6 +134,24 @@ def conv_param_spec(path: tuple, leaf) -> P:
     return P()  # dense policy/value heads (and anything unrecognized)
 
 
+def equinet_param_spec(path: tuple, leaf) -> P:
+    """Tensor-parallel layout for the EquiNet: channels over MODEL_AXIS.
+
+    Every exchangeable layer is a (4C, C) dense whose output channel dim
+    shards; its pooling (row/col/global means) reduces spatial axes only, so
+    a channel-sharded activation passes through pooling with zero
+    communication and GSPMD all-gathers once per layer at the 4C-input
+    concat.  Heads replicate.  A layout hint, like the other spec fns.
+    """
+    names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+    flat = "/".join(str(n) for n in names)
+    if re.search(r"ex\d+/kernel$", flat):
+        return P(None, MODEL_AXIS)
+    if re.search(r"ex\d+/bias$", flat):
+        return P(MODEL_AXIS)
+    return P()
+
+
 def shard_variables(mesh: Mesh, variables, spec_fn=None):
     """Places a variables pytree on the mesh (replicated unless spec_fn says
     otherwise)."""

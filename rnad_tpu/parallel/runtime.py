@@ -74,6 +74,8 @@ def make_sharded_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
             spec_fn = None
         elif isinstance(net, nets_lib.ConvNet):
             spec_fn = mesh_lib.conv_param_spec
+        elif isinstance(net, nets_lib.EquiNet):
+            spec_fn = mesh_lib.equinet_param_spec
         else:
             spec_fn = mesh_lib.mlp_param_spec
         place_params = lambda vs: mesh_lib.shard_variables(mesh, vs, spec_fn)

@@ -48,6 +48,29 @@ def test_convnet_shapes():
     assert "batch_stats" in mutated
 
 
+def test_equinet_equivariance():
+    """EquiNet encodes the NE map's symmetry by construction: permuting the
+    mover's actions (obs rows) by sigma and the opponent's (obs cols) by tau
+    permutes the policy logits by sigma and leaves the value unchanged."""
+    A = 5
+    net = nets.build_net(NetConfig(type="EquiNet", max_actions=A,
+                                   channels=16, depth=3))
+    variables = nets.init_variables(net, jax.random.PRNGKey(0), A)
+    obs = rand_obs(jax.random.PRNGKey(1), 11, A)
+    logits, value = nets.apply_eval(net, variables, obs)
+    assert logits.shape == (11, A) and value.shape == (11,)
+
+    rng = np.random.default_rng(3)
+    sigma = jnp.asarray(rng.permutation(A))
+    tau = jnp.asarray(rng.permutation(A))
+    obs_p = obs[:, :, sigma, :][:, :, :, tau]
+    logits_p, value_p = nets.apply_eval(net, variables, obs_p)
+    np.testing.assert_allclose(np.asarray(logits_p),
+                               np.asarray(logits[:, sigma]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(value_p), np.asarray(value),
+                               atol=1e-5)
+
+
 def test_crossconv_receptive_field():
     """A CrossConv output at (i, j) depends only on row i and column j of the
     input (the defining property, reference net.py:88-143)."""

@@ -219,6 +219,18 @@ def test_convnet_train_step(small_tree):
     assert not np.array_equal(before, after)
 
 
+def test_equinet_train_step(small_tree):
+    """The equivariant net runs through the generic (non-MLP-fused) learner
+    path like any other family."""
+    cfg = small_cfg(batch_size=32)
+    net = nets.build_net(NetConfig(type="EquiNet", max_actions=3, channels=8,
+                                   depth=2))
+    train_step, _, _, _ = rnad_lib.make_rnad_fns(net, small_tree, cfg)
+    state = rnad_lib.init_train_state(net, jax.random.PRNGKey(0), 3, cfg)
+    state, metrics = train_step(state, jnp.float32(0.5))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_fused_step_equals_decomposed(small_tree):
     """The fused on-policy train step and the rollout_jit + learn_jit pair
     (used by the buffered path) must produce identical states."""

@@ -128,6 +128,27 @@ def test_model_parallel_convnet(small_tree):
 
 
 @requires_multidevice
+def test_model_parallel_equinet(small_tree):
+    """EquiNet under TP: exchangeable-layer channels sharded over the model
+    axis (parallel/mesh.py::equinet_param_spec), step stays finite."""
+    cfg = RNaDConfig(batch_size=64, eta=0.2, bounds=(1,), delta_m=(2,),
+                     lr=1e-3, gamma_averaging=0.01, logit_clip=2.0)
+    net = nets.build_net(NetConfig(type="EquiNet", max_actions=3,
+                                   channels=16, depth=2))
+    mesh = mesh_lib.make_mesh(model_parallelism=2)
+    (train_step, _, _, _), mesh, place_state = runtime.make_sharded_rnad_fns(
+        net, small_tree, cfg, mesh=mesh, model_parallel_mlp=True)
+    state = place_state(
+        rnad_lib.init_train_state(net, jax.random.PRNGKey(0), 3, cfg))
+    kern = state.variables["params"]["ex0"]["kernel"]
+    assert not kern.sharding.is_fully_replicated  # C out is model-sharded
+    head = state.variables["params"]["policy"]["kernel"]
+    assert head.sharding.is_fully_replicated
+    state, metrics = train_step(state, jnp.float32(0.5))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+@requires_multidevice
 def test_trainer_class_sharded_end_to_end(tmp_path, small_tree):
     """Full RNaD trainer driving the sharded step family on the mesh."""
     cfg = RNaDConfig(batch_size=64, eta=0.2, bounds=(1,), delta_m=(2,),

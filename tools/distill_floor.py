@@ -13,7 +13,8 @@ Usage:
       --net MLP:256 --net MLP:1024 --net ConvNet:24x2 \
       --steps 20000 --node-batch 65536 [--cpu]
 
-Net specs: ``MLP:<width>[x<depth>]`` or ``ConvNet:<channels>x<depth>``.
+Net specs: ``MLP:<width>[x<depth>]``, ``ConvNet:<channels>x<depth>`` or
+``EquiNet:<channels>x<depth>``.
 Prints one JSON line per net (machine-readable, like bench_suite.py).
 """
 
@@ -40,7 +41,12 @@ def parse_net(spec: str, max_actions: int):
         return NetConfig(type="ConvNet", max_actions=max_actions,
                          channels=int(ch), depth=int(depth or 2),
                          batch_norm=False)
-    raise SystemExit(f"unknown net spec {spec!r} (MLP:<w> | ConvNet:<c>x<d>)")
+    if kind == "EquiNet":
+        ch, _, depth = (shape or "128x4").partition("x")
+        return NetConfig(type="EquiNet", max_actions=max_actions,
+                         channels=int(ch), depth=int(depth or 4))
+    raise SystemExit(f"unknown net spec {spec!r} "
+                     "(MLP:<w>[x<d>] | ConvNet:<c>x<d> | EquiNet:<c>x<d>)")
 
 
 def main():
