@@ -50,14 +50,19 @@ def solve_zero_sum_rmplus(payoffs: jax.Array, legal_rows: jax.Array,
 
     def body(i, carry):
         qr, qc, xsum, ysum = carry
-        x = normalize(qr, lr)
+        # Alternating updates (the CFR+ schedule): the column player best
+        # responds to the row player's *updated* strategy — empirically an
+        # order of magnitude tighter than simultaneous updates at equal
+        # iteration count (tests/test_solver_device.py).
         y = normalize(qc, lc)
         u_r = jnp.einsum("brc,bc->br", M, y)  # row action utilities
-        u_c = -jnp.einsum("br,brc->bc", x, M)  # col action utilities
-        v_r = (x * u_r).sum(-1, keepdims=True)
-        v_c = (y * u_c).sum(-1, keepdims=True)
+        v_r = ((normalize(qr, lr)) * u_r).sum(-1, keepdims=True)
         qr = jnp.maximum(qr + (u_r - v_r) * lr, 0.0)
+        x = normalize(qr, lr)
+        u_c = -jnp.einsum("br,brc->bc", x, M)  # col action utilities
+        v_c = (y * u_c).sum(-1, keepdims=True)
         qc = jnp.maximum(qc + (u_c - v_c) * lc, 0.0)
+        y = normalize(qc, lc)
         w = (i + 1).astype(M.dtype)  # linear averaging
         return qr, qc, xsum + w * x, ysum + w * y
 
@@ -69,6 +74,37 @@ def solve_zero_sum_rmplus(payoffs: jax.Array, legal_rows: jax.Array,
     y = normalize(ysum, lc)
     v = jnp.einsum("br,brc,bc->b", x, M, y)
     return x, y, v
+
+
+def joint_policy_rmplus(tree, iters: int = 2000,
+                        chunk: int = 200_000) -> jax.Array:
+    """Both-seat joint policy (S, 2A) that plays the RM+ epsilon-Nash of
+    each node's OBSERVED payoff matrix.
+
+    The observation (ops/stepping.py::seat_observations, reference
+    episode.py:62-68) is exactly the matrix whose Nash equilibrium is the
+    node's stored solution, so this is the "just solve the observed game"
+    policy — a net-free skyline for the capacity-floor table
+    (tools/distill_floor.py): any architecture's floor is lower-bounded by
+    ~0 only if it can implement an iterative solver; this shows what that
+    limit is worth on a given tree.
+    """
+    S = tree.index.shape[0]
+    outs = []
+    n = min(chunk, S)
+    for start in range(0, S, n):
+        stop = min(start + n, S)
+        ev = tree.expected_value[start:stop, 0]
+        lg_r = tree.legal[start:stop, 0, :, 0]
+        lg_c = tree.legal[start:stop, 0, 0, :]
+        if stop - start < n:  # pad tail to the compiled shape
+            pad = n - (stop - start)
+            ev = jnp.pad(ev, ((0, pad), (0, 0), (0, 0)))
+            lg_r = jnp.pad(lg_r, ((0, pad), (0, 0)))
+            lg_c = jnp.pad(lg_c, ((0, pad), (0, 0)))
+        x, y, _ = solve_zero_sum_rmplus(ev, lg_r, lg_c, iters=iters)
+        outs.append(jnp.concatenate([x, y], axis=-1)[: stop - start])
+    return jnp.concatenate(outs, axis=0)
 
 
 def exploitability_batch(payoffs: jax.Array, x: jax.Array, y: jax.Array,

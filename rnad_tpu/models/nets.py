@@ -223,15 +223,18 @@ class EquiNet(nn.Module):
     the opponent's by tau permutes the NE strategy by sigma and leaves the
     value unchanged.  The MLP and ConvNet have to *learn* this symmetry
     from data; this net encodes it, which collapses the hypothesis space by
-    ~(A!)^2 per matrix and empirically floors far below either family at
-    equal parameter count (docs/SCALE.md).
+    ~(A!)^2 per matrix.  The flip side is that it cannot memorize node
+    identities the way an MLP can on a small tree, so its floor should be
+    compared on trees too large to memorize (docs/SCALE.md).
 
     Architecture: a tower of exchangeable matrix layers (the
     row/column-exchangeable linear layer of Hartford et al. 2018, "Deep
     Models of Interactions Across Sets"): each layer concatenates, per cell,
-    the cell features with the cell's row-mean, column-mean and global-mean
-    features and mixes channels with one dense matmul — so the whole tower
-    is reductions + (N*A*A, 4C) x (4C, C) matmuls, an MXU-friendly shape.
+    the cell features with the cell's row-mean/max, column-mean/max and
+    global-mean features and mixes channels with one dense matmul — so the
+    whole tower is reductions + (N*A*A, 6C) x (6C, C) matmuls, an
+    MXU-friendly shape.  Max pools are included alongside means because the
+    map's primitive, best response, IS a max over actions.
     The policy head pools each row over columns (row-equivariant,
     column-invariant) and the value head pools globally (invariant); both
     symmetries hold by construction, see
@@ -259,7 +262,9 @@ class EquiNet(nn.Module):
             rm = jnp.broadcast_to(h.mean(axis=2, keepdims=True), h.shape)
             cm = jnp.broadcast_to(h.mean(axis=1, keepdims=True), h.shape)
             gm = jnp.broadcast_to(h.mean(axis=(1, 2), keepdims=True), h.shape)
-            return jnp.concatenate([h, rm, cm, gm], axis=-1)
+            rx = jnp.broadcast_to(h.max(axis=2, keepdims=True), h.shape)
+            cx = jnp.broadcast_to(h.max(axis=1, keepdims=True), h.shape)
+            return jnp.concatenate([h, rm, cm, gm, rx, cx], axis=-1)
 
         for i in range(self.depth):
             p = pools(x)

@@ -40,3 +40,15 @@ def test_rmplus_known_games():
     np.testing.assert_allclose(np.asarray(x)[0], [1 / 3] * 3, atol=5e-3)
     assert abs(float(v[0])) < 5e-3
     assert abs(float(v[1])) < 5e-3
+
+
+def test_rmplus_joint_policy_near_nash(small_tree):
+    """Playing the RM+ solution of each node's observed matrix is a
+    near-exact whole-tree equilibrium (the net-free skyline of
+    tools/distill_floor.py); per-node epsilons compound at most linearly
+    with depth."""
+    from rnad_tpu.metrics import nashconv as nashconv_lib
+
+    joint = solver_device.joint_policy_rmplus(small_tree, iters=2000)
+    result = nashconv_lib.nashconv_root(small_tree, joint)
+    assert float(result.nashconv()) < 2e-2

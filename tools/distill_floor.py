@@ -14,7 +14,8 @@ Usage:
       --steps 20000 --node-batch 65536 [--cpu]
 
 Net specs: ``MLP:<width>[x<depth>]``, ``ConvNet:<channels>x<depth>`` or
-``EquiNet:<channels>x<depth>``.
+``EquiNet:<channels>x<depth>``; ``RM+[:<iters>]`` evaluates the net-free
+regret-matching skyline (no training — solves the observed matrix).
 Prints one JSON line per net (machine-readable, like bench_suite.py).
 """
 
@@ -74,6 +75,22 @@ def main():
     print(json.dumps({"tree": args.tree, "size": tree.size,
                       "depth": tree.max_depth}), flush=True)
     for spec in args.net or ["MLP:256"]:
+        if spec.startswith("RM+"):
+            # Net-free skyline: play the RM+ epsilon-Nash of each node's
+            # observed matrix (see env/solver_device.py::joint_policy_rmplus).
+            from rnad_tpu.env import solver_device
+            from rnad_tpu.metrics import nashconv as nashconv_lib
+            iters = int(spec.partition(":")[2] or 2000)
+            t0 = time.time()
+            joint = solver_device.joint_policy_rmplus(tree, iters=iters)
+            result = nashconv_lib.nashconv_root(tree, joint)
+            print(json.dumps({
+                "net": spec,
+                "floor_nashconv": round(float(result.nashconv()), 6),
+                "iters": iters,
+                "seconds": round(time.time() - t0, 1),
+            }), flush=True)
+            continue
         cfg = parse_net(spec, tree.max_actions)
         net = nets.build_net(cfg)
         t0 = time.time()
