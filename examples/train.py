@@ -71,6 +71,9 @@ def main():
                    help="MLP hidden / ConvNet residual / EquiNet layers")
     p.add_argument("--channels", type=int, default=16,
                    help="ConvNet / EquiNet only")
+    p.add_argument("--solver-iters", type=int, default=0,
+                   help="EquiNet only: RM+ solver-iterate input features "
+                        "(models/nets.py::_solver_features)")
     p.add_argument("--compute-dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--n-batches-per-buffer", type=int, default=1,
@@ -142,6 +145,7 @@ def main():
     net_cfg = NetConfig(type=args.net, max_actions=tree.max_actions,
                         width=args.width, depth=args.net_depth,
                         channels=args.channels,
+                        solver_iters=args.solver_iters,
                         compute_dtype=args.compute_dtype)
 
     trainer = rnad_lib.RNaD(tree, cfg, net_cfg, directory_name=args.name,

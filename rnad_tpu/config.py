@@ -104,6 +104,9 @@ class NetConfig:
     channels: int = 16  # ConvNet / EquiNet channels
     depth: int = 1  # ConvNet residual tower / MLP hidden / EquiNet layers
     batch_norm: bool = True  # ConvNet only
+    # EquiNet only: > 0 prepends equivariant RM+ solver-iterate input
+    # features (models/nets.py::_solver_features); 0 = plain tower.
+    solver_iters: int = 0
     # "float32" (default, matches the reference numerics) or "bfloat16"
     # (mixed precision: bf16 activations/matmuls on the MXU, f32 params and
     # f32 head outputs).

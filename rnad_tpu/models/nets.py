@@ -212,6 +212,42 @@ class ConvNet(nn.Module):
         return logits.reshape(lead + (A,)), value.reshape(lead + (1,))
 
 
+def _solver_features(x: jax.Array, iters: int) -> jax.Array:
+    """Six equivariant input channels derived from a short RM+ solve of the
+    observed matrix (env/solver_device.py): averaged strategies x/y, their
+    logs, and the action utilities against them.
+
+    The observation IS the matrix whose NE is the training target's local
+    solution (reference episode.py:62-68), so an iterative solver computes
+    near-exact answers from it (the RM+ skyline row of docs/SCALE.md); a
+    pooling tower has to approximate that iteration.  Feeding a few solver
+    iterates in lets the heads read the solution off linearly (log x-bar is
+    exactly the NE logits) and spend capacity on the *correction* — which is
+    what R-NaD training needs, since its reward transform perturbs the game
+    away from the observed matrix's NE.  All six channels are equivariant
+    under (row, col) relabeling because RM+ itself is.  Gradients do not
+    flow (pure input features of data).
+    """
+    from ..env.solver_device import solve_zero_sum_rmplus
+
+    M = x[..., 0].astype(jnp.float32)       # (N, A, A)
+    legal = x[..., 1].astype(jnp.float32)
+    # The legality channel is the outer product legal_rows x legal_cols
+    # (generator convention); recover the factors by row/col max, which —
+    # unlike slicing column 0 — stays correct under any relabeling.
+    lr = legal.max(axis=2)                   # mover's legal rows
+    lc = legal.max(axis=1)                   # opponent's legal cols
+    xs, ys, _ = solve_zero_sum_rmplus(M, lr, lc, iters=iters)
+    u_r = jnp.einsum("nrc,nc->nr", M, ys)    # row utilities vs y-bar
+    u_c = -jnp.einsum("nr,nrc->nc", xs, M)   # col utilities vs x-bar
+    eps = 1e-9
+    rows = [xs, jnp.log(xs + eps), u_r]      # broadcast over columns
+    cols = [ys, jnp.log(ys + eps), u_c]      # broadcast over rows
+    feats = [jnp.broadcast_to(r[:, :, None], M.shape) for r in rows]
+    feats += [jnp.broadcast_to(c[:, None, :], M.shape) for c in cols]
+    return jax.lax.stop_gradient(jnp.stack(feats, axis=-1))
+
+
 class EquiNet(nn.Module):
     """Permutation-equivariant policy/value net (TPU-native extension; no
     reference counterpart — the reference's families are the MLP and the
@@ -244,6 +280,7 @@ class EquiNet(nn.Module):
     max_actions: int
     channels: int = 128
     depth: int = 4
+    solver_iters: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -256,7 +293,11 @@ class EquiNet(nn.Module):
         # (..., 2, A, A) -> (N, A, A, 2): rows = mover actions, cols =
         # opponent actions, channels = [expected value, legality].
         x = obs.reshape((-1, 2, A, A)).transpose(0, 2, 3, 1)
+        if self.solver_iters:
+            x = jnp.concatenate(
+                [x, _solver_features(x, self.solver_iters)], axis=-1)
         x = x.astype(self.dtype)
+        x0 = x  # input skip to the heads (solver channels readable linearly)
 
         def pools(h: jax.Array) -> jax.Array:
             rm = jnp.broadcast_to(h.mean(axis=2, keepdims=True), h.shape)
@@ -278,10 +319,16 @@ class EquiNet(nn.Module):
             feat, name=name, dtype=self.dtype,
             kernel_init=common.torch_linear_kernel_init,
             bias_init=common.torch_bias_init(fan_in))
-        row_feat = x.mean(axis=2)                      # (N, A, C)
-        glob = x.mean(axis=(1, 2))                     # (N, C)
-        logits = head(1, self.channels, "policy")(row_feat)[..., 0]
-        value = head(1, self.channels, "value")(glob)
+        # Input skip: row-pooled raw channels ride along to the heads, so
+        # with solver features on, the NE logits (the log x-bar channel) are
+        # one linear readout away instead of having to survive the tower.
+        row_feat = jnp.concatenate([x.mean(axis=2), x0.mean(axis=2)],
+                                   axis=-1)            # (N, A, C + C0)
+        glob = jnp.concatenate([x.mean(axis=(1, 2)), x0.mean(axis=(1, 2))],
+                               axis=-1)                # (N, C + C0)
+        fan = row_feat.shape[-1]
+        logits = head(1, fan, "policy")(row_feat)[..., 0]
+        value = head(1, fan, "value")(glob)
         return logits.reshape(lead + (A,)), value.reshape(lead + (1,))
 
 
@@ -359,7 +406,7 @@ def build_net(config: NetConfig) -> nn.Module:
     if config.type == "EquiNet":
         return EquiNet(max_actions=config.max_actions,
                        channels=config.channels, depth=config.depth,
-                       dtype=dtype)
+                       solver_iters=config.solver_iters, dtype=dtype)
     raise ValueError(f"unknown net type: {config.type}")
 
 

@@ -137,11 +137,12 @@ def conv_param_spec(path: tuple, leaf) -> P:
 def equinet_param_spec(path: tuple, leaf) -> P:
     """Tensor-parallel layout for the EquiNet: channels over MODEL_AXIS.
 
-    Every exchangeable layer is a (4C, C) dense whose output channel dim
-    shards; its pooling (row/col/global means) reduces spatial axes only, so
-    a channel-sharded activation passes through pooling with zero
-    communication and GSPMD all-gathers once per layer at the 4C-input
-    concat.  Heads replicate.  A layout hint, like the other spec fns.
+    Every exchangeable layer is a (6C, C) dense whose output channel dim
+    shards; its pooling (row/col mean/max, global mean) reduces spatial axes
+    only, so a channel-sharded activation passes through pooling with zero
+    communication and GSPMD all-gathers once per layer at the 6C-input
+    concat.  Heads (and the input-skip features) replicate.  A layout hint,
+    like the other spec fns.
     """
     names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
     flat = "/".join(str(n) for n in names)

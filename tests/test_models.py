@@ -48,13 +48,20 @@ def test_convnet_shapes():
     assert "batch_stats" in mutated
 
 
-def test_equinet_equivariance():
+import pytest
+
+
+@pytest.mark.parametrize("solver_iters", [0, 16])
+def test_equinet_equivariance(solver_iters):
     """EquiNet encodes the NE map's symmetry by construction: permuting the
     mover's actions (obs rows) by sigma and the opponent's (obs cols) by tau
-    permutes the policy logits by sigma and leaves the value unchanged."""
+    permutes the policy logits by sigma and leaves the value unchanged —
+    including the RM+ solver-iterate input features, which are themselves
+    equivariant."""
     A = 5
     net = nets.build_net(NetConfig(type="EquiNet", max_actions=A,
-                                   channels=16, depth=3))
+                                   channels=16, depth=3,
+                                   solver_iters=solver_iters))
     variables = nets.init_variables(net, jax.random.PRNGKey(0), A)
     obs = rand_obs(jax.random.PRNGKey(1), 11, A)
     logits, value = nets.apply_eval(net, variables, obs)

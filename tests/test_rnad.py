@@ -221,10 +221,12 @@ def test_convnet_train_step(small_tree):
 
 def test_equinet_train_step(small_tree):
     """The equivariant net runs through the generic (non-MLP-fused) learner
-    path like any other family."""
+    path like any other family — here with RM+ solver-iterate input
+    features enabled, so the fori_loop solve sits inside the rollout scan
+    AND under the learner's grad."""
     cfg = small_cfg(batch_size=32)
     net = nets.build_net(NetConfig(type="EquiNet", max_actions=3, channels=8,
-                                   depth=2))
+                                   depth=2, solver_iters=8))
     train_step, _, _, _ = rnad_lib.make_rnad_fns(net, small_tree, cfg)
     state = rnad_lib.init_train_state(net, jax.random.PRNGKey(0), 3, cfg)
     state, metrics = train_step(state, jnp.float32(0.5))
