@@ -74,6 +74,9 @@ def main():
     p.add_argument("--solver-iters", type=int, default=0,
                    help="EquiNet only: RM+ solver-iterate input features "
                         "(models/nets.py::_solver_features)")
+    p.add_argument("--solver-prime", action="store_true",
+                   help="EquiNet only: primed heads — step-0 policy/value "
+                        "is the RM+ solve, training learns the correction")
     p.add_argument("--compute-dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--n-batches-per-buffer", type=int, default=1,
@@ -146,6 +149,7 @@ def main():
                         width=args.width, depth=args.net_depth,
                         channels=args.channels,
                         solver_iters=args.solver_iters,
+                        solver_prime=args.solver_prime,
                         compute_dtype=args.compute_dtype)
 
     trainer = rnad_lib.RNaD(tree, cfg, net_cfg, directory_name=args.name,

@@ -107,6 +107,10 @@ class NetConfig:
     # EquiNet only: > 0 prepends equivariant RM+ solver-iterate input
     # features (models/nets.py::_solver_features); 0 = plain tower.
     solver_iters: int = 0
+    # EquiNet only, needs solver_iters > 0: zero-init the heads and add the
+    # RM+ solution through learnable gates, so the step-0 policy/value IS
+    # the solver's epsilon-Nash and training learns only the correction.
+    solver_prime: bool = False
     # "float32" (default, matches the reference numerics) or "bfloat16"
     # (mixed precision: bf16 activations/matmuls on the MXU, f32 params and
     # f32 head outputs).

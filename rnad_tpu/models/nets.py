@@ -212,10 +212,12 @@ class ConvNet(nn.Module):
         return logits.reshape(lead + (A,)), value.reshape(lead + (1,))
 
 
-def _solver_features(x: jax.Array, iters: int) -> jax.Array:
+def _solver_features(x: jax.Array, iters: int
+                     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Six equivariant input channels derived from a short RM+ solve of the
-    observed matrix (env/solver_device.py): averaged strategies x/y, their
-    logs, and the action utilities against them.
+    observed matrix (env/solver_device.py) — averaged strategies x/y, their
+    logs, and the action utilities against them — plus the solve itself as
+    head primers: (feats (N,A,A,6), log x-bar (N,A), value (N,)).
 
     The observation IS the matrix whose NE is the training target's local
     solution (reference episode.py:62-68), so an iterative solver computes
@@ -237,15 +239,17 @@ def _solver_features(x: jax.Array, iters: int) -> jax.Array:
     # unlike slicing column 0 — stays correct under any relabeling.
     lr = legal.max(axis=2)                   # mover's legal rows
     lc = legal.max(axis=1)                   # opponent's legal cols
-    xs, ys, _ = solve_zero_sum_rmplus(M, lr, lc, iters=iters)
+    xs, ys, v = solve_zero_sum_rmplus(M, lr, lc, iters=iters)
     u_r = jnp.einsum("nrc,nc->nr", M, ys)    # row utilities vs y-bar
     u_c = -jnp.einsum("nr,nrc->nc", xs, M)   # col utilities vs x-bar
     eps = 1e-9
-    rows = [xs, jnp.log(xs + eps), u_r]      # broadcast over columns
+    log_x = jnp.log(xs + eps)
+    rows = [xs, log_x, u_r]                  # broadcast over columns
     cols = [ys, jnp.log(ys + eps), u_c]      # broadcast over rows
     feats = [jnp.broadcast_to(r[:, :, None], M.shape) for r in rows]
     feats += [jnp.broadcast_to(c[:, None, :], M.shape) for c in cols]
-    return jax.lax.stop_gradient(jnp.stack(feats, axis=-1))
+    return (jax.lax.stop_gradient(jnp.stack(feats, axis=-1)),
+            jax.lax.stop_gradient(log_x), jax.lax.stop_gradient(v))
 
 
 class EquiNet(nn.Module):
@@ -281,6 +285,7 @@ class EquiNet(nn.Module):
     channels: int = 128
     depth: int = 4
     solver_iters: int = 0
+    solver_prime: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -293,9 +298,12 @@ class EquiNet(nn.Module):
         # (..., 2, A, A) -> (N, A, A, 2): rows = mover actions, cols =
         # opponent actions, channels = [expected value, legality].
         x = obs.reshape((-1, 2, A, A)).transpose(0, 2, 3, 1)
+        prime_logits = prime_value = None
         if self.solver_iters:
-            x = jnp.concatenate(
-                [x, _solver_features(x, self.solver_iters)], axis=-1)
+            feats, log_x, v_rm = _solver_features(x, self.solver_iters)
+            x = jnp.concatenate([x, feats], axis=-1)
+            if self.solver_prime:
+                prime_logits, prime_value = log_x, v_rm[:, None]
         x = x.astype(self.dtype)
         x0 = x  # input skip to the heads (solver channels readable linearly)
 
@@ -315,10 +323,20 @@ class EquiNet(nn.Module):
                 kernel_init=common.torch_linear_kernel_init,
                 bias_init=common.torch_bias_init(fan_in))(p))
 
+        # Primed heads start as the identity on the solver solution: the
+        # head kernels are zero-initialized and the RM+ outputs enter
+        # through learnable scalar gates (init 1), so the step-0 policy IS
+        # the RM+ epsilon-Nash (the skyline row of docs/SCALE.md) and
+        # training only has to learn the *correction* — exactly what R-NaD
+        # needs, since its reward transform perturbs each node's game away
+        # from the observed matrix whose NE the solver computes.
+        primed = prime_logits is not None
         head = lambda feat, fan_in, name: nn.Dense(
             feat, name=name, dtype=self.dtype,
-            kernel_init=common.torch_linear_kernel_init,
-            bias_init=common.torch_bias_init(fan_in))
+            kernel_init=(nn.initializers.zeros if primed
+                         else common.torch_linear_kernel_init),
+            bias_init=(nn.initializers.zeros if primed
+                       else common.torch_bias_init(fan_in)))
         # Input skip: row-pooled raw channels ride along to the heads, so
         # with solver features on, the NE logits (the log x-bar channel) are
         # one linear readout away instead of having to survive the tower.
@@ -329,6 +347,11 @@ class EquiNet(nn.Module):
         fan = row_feat.shape[-1]
         logits = head(1, fan, "policy")(row_feat)[..., 0]
         value = head(1, fan, "value")(glob)
+        if primed:
+            gp = self.param("policy_prime_gate", nn.initializers.ones, ())
+            gv = self.param("value_prime_gate", nn.initializers.ones, ())
+            logits = logits.astype(jnp.float32) + gp * prime_logits
+            value = value.astype(jnp.float32) + gv * prime_value
         return logits.reshape(lead + (A,)), value.reshape(lead + (1,))
 
 
@@ -406,7 +429,8 @@ def build_net(config: NetConfig) -> nn.Module:
     if config.type == "EquiNet":
         return EquiNet(max_actions=config.max_actions,
                        channels=config.channels, depth=config.depth,
-                       solver_iters=config.solver_iters, dtype=dtype)
+                       solver_iters=config.solver_iters,
+                       solver_prime=config.solver_prime, dtype=dtype)
     raise ValueError(f"unknown net type: {config.type}")
 
 

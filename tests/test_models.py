@@ -51,8 +51,9 @@ def test_convnet_shapes():
 import pytest
 
 
-@pytest.mark.parametrize("solver_iters", [0, 16])
-def test_equinet_equivariance(solver_iters):
+@pytest.mark.parametrize("solver_iters,solver_prime",
+                         [(0, False), (16, False), (16, True)])
+def test_equinet_equivariance(solver_iters, solver_prime):
     """EquiNet encodes the NE map's symmetry by construction: permuting the
     mover's actions (obs rows) by sigma and the opponent's (obs cols) by tau
     permutes the policy logits by sigma and leaves the value unchanged —
@@ -61,7 +62,8 @@ def test_equinet_equivariance(solver_iters):
     A = 5
     net = nets.build_net(NetConfig(type="EquiNet", max_actions=A,
                                    channels=16, depth=3,
-                                   solver_iters=solver_iters))
+                                   solver_iters=solver_iters,
+                                   solver_prime=solver_prime))
     variables = nets.init_variables(net, jax.random.PRNGKey(0), A)
     obs = rand_obs(jax.random.PRNGKey(1), 11, A)
     logits, value = nets.apply_eval(net, variables, obs)
@@ -76,6 +78,31 @@ def test_equinet_equivariance(solver_iters):
                                np.asarray(logits[:, sigma]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(value_p), np.asarray(value),
                                atol=1e-5)
+
+
+def test_equinet_primed_starts_at_solver():
+    """With solver_prime, the heads are zero-initialized and the RM+ solve
+    enters through unit gates, so the step-0 policy IS the solver's
+    epsilon-Nash of the observed matrix and the step-0 value is its game
+    value (models/nets.py::EquiNet primed heads)."""
+    from rnad_tpu.env.solver_device import solve_zero_sum_rmplus
+    from rnad_tpu.models import common
+
+    A = 5
+    net = nets.build_net(NetConfig(type="EquiNet", max_actions=A,
+                                   channels=16, depth=2,
+                                   solver_iters=32, solver_prime=True))
+    variables = nets.init_variables(net, jax.random.PRNGKey(0), A)
+    obs = rand_obs(jax.random.PRNGKey(1), 9, A)
+    logits, value = nets.apply_eval(net, variables, obs)
+
+    M = obs[:, 0]
+    legal = obs[:, 1]
+    lr, lc = legal.max(axis=2), legal.max(axis=1)
+    xs, _, v = solve_zero_sum_rmplus(M, lr, lc, iters=32)
+    policy = common.masked_policy(logits, lr)
+    np.testing.assert_allclose(np.asarray(policy), np.asarray(xs), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(value), np.asarray(v), atol=1e-5)
 
 
 def test_crossconv_receptive_field():

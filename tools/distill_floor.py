@@ -14,7 +14,8 @@ Usage:
       --steps 20000 --node-batch 65536 [--cpu]
 
 Net specs: ``MLP:<width>[x<depth>]``, ``ConvNet:<channels>x<depth>`` or
-``EquiNet:<channels>x<depth>[s<solver_iters>]``; ``RM+[:<iters>]`` evaluates the net-free
+``EquiNet:<channels>x<depth>[s<solver_iters>[p]]`` (p = primed heads:
+step-0 policy is the RM+ solve); ``RM+[:<iters>]`` evaluates the net-free
 regret-matching skyline (no training — solves the observed matrix).
 Prints one JSON line per net (machine-readable, like bench_suite.py).
 """
@@ -45,9 +46,11 @@ def parse_net(spec: str, max_actions: int):
     if kind == "EquiNet":
         ch, _, depth = (shape or "128x4").partition("x")
         depth, _, solver = (depth or "4").partition("s")
+        prime = solver.endswith("p")
         return NetConfig(type="EquiNet", max_actions=max_actions,
                          channels=int(ch), depth=int(depth or 4),
-                         solver_iters=int(solver or 0))
+                         solver_iters=int(solver.rstrip("p") or 0),
+                         solver_prime=prime)
     raise SystemExit(f"unknown net spec {spec!r} "
                      "(MLP:<w>[x<d>] | ConvNet:<c>x<d> | EquiNet:<c>x<d>)")
 
