@@ -346,16 +346,23 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
         return nashconv_lib.nashconv_pure(tree, joint, num_passes,
                                           compute_reach=False)
 
+    # The config threshold is capped by the architecture's activation
+    # footprint (nets.inference_chunk_nodes): a node count that fits the
+    # MLP can OOM a wide EquiNet, whose exchangeable layers materialize
+    # ~6*channels floats per matrix cell.
+    chunk_nodes = min(cfg.nashconv_chunk_nodes,
+                      nets.inference_chunk_nodes(net, tree.max_actions))
+
     def nashconv_fn(variables) -> nashconv_lib.NashConvResult:
         # Above the node threshold the fused whole-tree program would
         # materialize the (2S, 2, A, A) observation tensor plus the net
         # activations in one live set; host-driven chunked inference keeps
         # the working set at inference_batch_size nodes and feeds the exact
         # same backward induction.
-        if tree.size > cfg.nashconv_chunk_nodes:
+        if tree.size > chunk_nodes:
             joint = nashconv_lib.joint_policy_from_net(
                 tree, actor_fn, variables,
-                inference_batch_size=cfg.nashconv_chunk_nodes)
+                inference_batch_size=chunk_nodes)
             return nashconv_lib.nashconv_root(tree, joint)
         return _nashconv_jit(tree, variables, tree.max_depth)
 

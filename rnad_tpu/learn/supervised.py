@@ -73,7 +73,7 @@ def train_oracle_net(tree: GameTree, net, key: jax.Array,
                      steps: int = 2000, lr: float = 1e-3,
                      variables: Optional[Dict] = None,
                      node_batch: Optional[int] = None,
-                     eval_chunk_nodes: int = 200_000
+                     eval_chunk_nodes: Optional[int] = None
                      ) -> Tuple[Dict, Dict[str, float]]:
     """Distills the exact solution into ``net``; returns (variables, metrics).
 
@@ -84,10 +84,14 @@ def train_oracle_net(tree: GameTree, net, key: jax.Array,
     (with-replacement) sampled node-seat rows instead of the full dataset —
     required on big trees, where full-batch activations do not fit in HBM.
     ``eval_chunk_nodes``: trees larger than this evaluate the final NashConv
-    through the chunked inference path (metrics/nashconv.py).
+    through the chunked inference path (metrics/nashconv.py).  Default:
+    memory-aware per architecture (nets.inference_chunk_nodes) — a fixed
+    node count OOMs wide EquiNets on big trees.
     """
     if variables is None:
         variables = nets.init_variables(net, key, tree.max_actions)
+    if eval_chunk_nodes is None:
+        eval_chunk_nodes = nets.inference_chunk_nodes(net, tree.max_actions)
     obs, target_pol, target_val, weight = _dataset(tree)
     tx = optax.adam(lr)
     opt_state = tx.init(variables["params"])

@@ -434,6 +434,38 @@ def build_net(config: NetConfig) -> nn.Module:
     raise ValueError(f"unknown net type: {config.type}")
 
 
+def inference_chunk_nodes(net: nn.Module, max_actions: int,
+                          budget_bytes: int = 2 << 30,
+                          cap: int = 200_000) -> int:
+    """Largest whole-tree-inference chunk (in NODES) whose peak activations
+    fit ``budget_bytes``, for the chunked evaluators that feed
+    ``metrics/nashconv.py::joint_policy_from_net`` (the reference sizes this
+    by node count alone, util/metric.py:51-60 ``inference_batch_size`` —
+    fine for its tiny nets, but architecture-dependent here: EquiNet's
+    exchangeable layers materialize a (rows, A, A, 6*channels) pooled
+    concat per matmul, ~770 floats per CELL at channels=128, vs the MLP's
+    ~2 floats per cell.  A fixed 200k-node chunk OOMs a 16 GB chip for
+    EquiNet while wasting nothing for the MLP).
+
+    Charges the dominant per-row terms of each family's forward (times two
+    seats per node, plus 2x slack for XLA fusion copies/remat); clamps to
+    [1024, cap].
+    """
+    A = max_actions
+    esz = jnp.dtype(getattr(net, "dtype", jnp.float32)).itemsize
+    if isinstance(net, EquiNet):
+        cin = 2 + (6 if net.solver_iters else 0)
+        width = max(6 * net.channels, 6 * cin)
+        per_row = A * A * (width * esz + net.channels * 4)
+    elif isinstance(net, ConvNet):
+        per_row = A * A * (2 * A - 1) * net.channels * esz  # im2col rows
+    else:  # MLP and MLP-like flat nets
+        width = getattr(net, "width", 256)
+        per_row = (2 * A * A + 2 * width) * esz
+    per_node = 2 * per_row * 2  # two seats; 2x fusion/remat slack
+    return max(1024, min(cap, int(budget_bytes // per_node)))
+
+
 def init_variables(net: nn.Module, key: jax.Array, max_actions: int) -> Dict:
     obs = jnp.zeros((1, 2, max_actions, max_actions), jnp.float32)
     return net.init(key, obs)

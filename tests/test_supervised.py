@@ -57,3 +57,22 @@ def test_oracle_distillation_chunked_eval_matches(small_tree):
         eval_chunk_nodes=max(2, t.size // 3))
     np.testing.assert_allclose(chunked["nashconv"], whole["nashconv"],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_inference_chunk_nodes_memory_aware():
+    """Whole-tree eval chunks must shrink with the architecture's activation
+    footprint: a 200k-node chunk that is fine for the reference-shaped MLP
+    OOMs a 16 GB chip for EquiNet (observed on v5e: the (rows, A, A, 6C)
+    pooled concat of one exchangeable layer alone is ~14 GB at 400k rows,
+    channels=128)."""
+    A = 5
+    mlp = nets.build_net(NetConfig(type="MLP", max_actions=A, width=256))
+    equi = nets.build_net(NetConfig(type="EquiNet", max_actions=A,
+                                    channels=128, depth=4, solver_iters=16))
+    c_mlp = nets.inference_chunk_nodes(mlp, A)
+    c_eq = nets.inference_chunk_nodes(equi, A)
+    assert c_mlp == 200_000          # MLP footprint is tiny: cap applies
+    assert 1024 <= c_eq < 20_000     # EquiNet chunk is budget-bound
+    # the accounting the sizer charges actually fits the default budget
+    per_node = 2 * 2 * A * A * (6 * 128 * 4 + 128 * 4)
+    assert c_eq * per_node <= (2 << 30)
