@@ -73,7 +73,8 @@ def train_oracle_net(tree: GameTree, net, key: jax.Array,
                      steps: int = 2000, lr: float = 1e-3,
                      variables: Optional[Dict] = None,
                      node_batch: Optional[int] = None,
-                     eval_chunk_nodes: Optional[int] = None
+                     eval_chunk_nodes: Optional[int] = None,
+                     scan_segment_steps: int = 1000
                      ) -> Tuple[Dict, Dict[str, float]]:
     """Distills the exact solution into ``net``; returns (variables, metrics).
 
@@ -98,7 +99,8 @@ def train_oracle_net(tree: GameTree, net, key: jax.Array,
     n_rows = obs.shape[0]
 
     @jax.jit
-    def run(params, opt_state, key, obs, target_pol, target_val, weight):
+    def run(params, opt_state, step_keys, obs, target_pol, target_val,
+            weight):
         def step(carry, step_key):
             params, opt_state = carry
             if node_batch is None:
@@ -113,12 +115,27 @@ def train_oracle_net(tree: GameTree, net, key: jax.Array,
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
         (params, opt_state), losses = jax.lax.scan(
-            step, (params, opt_state), jax.random.split(key, steps))
+            step, (params, opt_state), step_keys)
         return params, opt_state, losses
 
-    params, opt_state, losses = run(variables["params"], opt_state,
-                                    jax.random.fold_in(key, 1), obs,
-                                    target_pol, target_val, weight)
+    # The scan runs in bounded segments (one device program each) rather
+    # than one steps-long program: a single multi-minute XLA program can
+    # trip runtime watchdogs (observed: a 10k-step EquiNet scan crashed the
+    # TPU worker where the same-length MLP scan, ~10x faster per step, ran
+    # fine), and segment boundaries cost one dispatch each.  Per-step keys
+    # are pre-split once, so segmentation does not change the math.
+    step_keys = jax.random.split(jax.random.fold_in(key, 1), steps)
+    params = variables["params"]
+    seg = max(1, min(steps, scan_segment_steps))
+    loss_tail = []
+    for start in range(0, steps, seg):
+        stop = min(start + seg, steps)
+        # a shorter tail segment compiles its own (smaller) program once
+        params, opt_state, losses = run(params, opt_state,
+                                        step_keys[start:stop], obs,
+                                        target_pol, target_val, weight)
+        loss_tail = losses
+    losses = loss_tail
     variables = dict(variables, params=params)
 
     actor_fn = lambda vs, o: nets.apply_eval(net, vs, o)

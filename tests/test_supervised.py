@@ -76,3 +76,24 @@ def test_inference_chunk_nodes_memory_aware():
     # the accounting the sizer charges actually fits the default budget
     per_node = 2 * 2 * A * A * (6 * 128 * 4 + 128 * 4)
     assert c_eq * per_node <= (2 << 30)
+
+
+def test_segmented_training_scan_matches_single_scan(small_tree):
+    """Splitting the distillation scan into bounded device programs must be
+    a pure execution-shape change: per-step keys are pre-split, so params
+    come out bitwise identical (the segmentation exists because one
+    multi-minute XLA program can crash the TPU runtime; see
+    train_oracle_net)."""
+    t = small_tree
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=32))
+    v1, m1 = supervised.train_oracle_net(
+        t, net, jax.random.PRNGKey(2), steps=130, lr=3e-3, node_batch=32,
+        scan_segment_steps=10**9)
+    v2, m2 = supervised.train_oracle_net(
+        t, net, jax.random.PRNGKey(2), steps=130, lr=3e-3, node_batch=32,
+        scan_segment_steps=64)  # 64 + 64 + a 2-step tail
+    assert m1["nashconv"] == m2["nashconv"]
+    assert m1["final_loss"] == m2["final_loss"]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b),
+        v1["params"], v2["params"])
