@@ -43,6 +43,11 @@ def main():
     # per-program tunnel round trip to ~1% of the ~2.3 s measurement; the
     # scan is rolled, so the trip count does not affect compile time)
     packed = stepping.make_packed_tables(tree)
+    # Seat-fused rows-actor: both seats' MLP towers as one matmul pair
+    # straight off the gathered packed rows — same math up to reduction
+    # order, +18% at this shape (engine.make_mlp_rows_actor,
+    # docs/PERF_ANALYSIS.md).
+    rows_actor = engine.make_mlp_rows_actor(net, packed)
 
     # All ITERS rollouts run inside ONE jitted scan, so the measurement is
     # pure device throughput — per-call tunnel latency (~30 ms on this
@@ -64,7 +69,8 @@ def main():
     @jax.jit
     def run_many(tr, pk, vs, key):
         def body(carry, k):
-            traj = engine.rollout(tr, actor, vs, k, batch, num_turns, pk)
+            traj = engine.rollout(tr, actor, vs, k, batch, num_turns, pk,
+                                  rows_actor=rows_actor)
             acc, min_std = carry
             lane_sig_std = jnp.std((traj.rewards * t_weights).sum(0))
             return (acc + traj.rewards.sum(),
@@ -77,10 +83,16 @@ def main():
     np.asarray(run_many(tree, packed, variables, key)[0])  # compile + warm
 
     t0 = time.perf_counter()
-    _, min_std = run_many(tree, packed, variables, jax.random.fold_in(key, 1))
+    acc, min_std = run_many(tree, packed, variables,
+                            jax.random.fold_in(key, 1))
     min_std = float(np.asarray(min_std))
     dt = time.perf_counter() - t0
     assert min_std > 0.0, "PRNG lane collapse in the measured program"
+    # Terminal values are in [-1, 1]; outside means the program computed
+    # garbage (the >131k one-program miscompile, docs/PERF_ANALYSIS.md).
+    mean_return = float(np.asarray(acc)) / (batch * iters)
+    assert abs(mean_return) <= 1.0, \
+        f"miscompiled rollout program: mean return {mean_return}"
 
     half_steps = 2 * num_turns * batch * iters
     rate = half_steps / dt

@@ -136,21 +136,62 @@ def trajectory_observations(packed: stepping.PackedTables, traj: Trajectory
 ActorFn = Callable[[dict, jax.Array], Tuple[jax.Array, jax.Array]]
 
 
+def make_mlp_rows_actor(net, packed: stepping.PackedTables):
+    """Seat-fused fast actor for depth-1 f32 MLPs: both seats' two towers as
+    ONE matmul pair straight off the gathered packed rows.
+
+    The generic turn materializes two obs slices and a (2B, 2, A, A) seat
+    concat before the net forward — pure HBM copies.  Here the packed row
+    feeds the (D_pad, 4W) kernel of ``nets.mlp_seat_fused_weights``
+    directly (dead table lanes hit zero kernel rows, which is exact in
+    floating point), eliminating those copies; measured +18% rollout
+    throughput at 131k lanes on v5e (docs/PERF_ANALYSIS.md).  Equivalent to
+    the generic path up to matmul reduction order (<=1 ulp on logits;
+    sampling shapes unchanged, so episodes coincide except at measure-zero
+    sampling ties — tests/test_engine.py::test_rows_actor_rollout_equivalent).
+
+    Returns ``prepare(variables) -> apply(rows) -> (logits (2, B, A),
+    values (2, B))`` so the kernel packing traces once, outside the turn
+    scan.
+    """
+    from ..models import nets as nets_lib
+
+    A = packed.max_actions
+
+    def prepare(variables):
+        W0, b0, W1, b1 = nets_lib.mlp_seat_fused_weights(
+            variables["params"], A, packed.rows.shape[-1], packed.obs_width)
+
+        def apply(rows: jax.Array):
+            h = jax.nn.relu(jnp.dot(rows, W0) + b0)
+            out = jnp.dot(h, W1) + b1  # (B, 2*(A+1))
+            logits = jnp.stack([out[:, :A], out[:, A + 1:2 * A + 1]])
+            value = jnp.stack([out[:, A], out[:, 2 * A + 1]])
+            return logits, value
+
+        return apply
+
+    return prepare
+
+
 def rollout(tree: GameTree, actor_fn: ActorFn, variables, key: jax.Array,
             batch_size: int, num_turns: int | None = None,
             packed: stepping.PackedTables | None = None,
-            store_obs: bool = False, obs_dtype=None) -> Trajectory:
+            store_obs: bool = False, obs_dtype=None,
+            lane_chunks: int = 1, rows_actor=None) -> Trajectory:
     """Plays ``batch_size`` episodes to completion under the actor policy."""
     init = jnp.ones((batch_size,), jnp.int32)
     return rollout_from(tree, actor_fn, variables, key, init, num_turns,
-                        packed, store_obs=store_obs, obs_dtype=obs_dtype)
+                        packed, store_obs=store_obs, obs_dtype=obs_dtype,
+                        lane_chunks=lane_chunks, rows_actor=rows_actor)
 
 
 def rollout_from(tree: GameTree, actor_fn: ActorFn, variables,
                  key: jax.Array, init_indices: jax.Array,
                  num_turns: int | None = None,
                  packed: stepping.PackedTables | None = None,
-                 store_obs: bool = False, obs_dtype=None) -> Trajectory:
+                 store_obs: bool = False, obs_dtype=None,
+                 lane_chunks: int = 1, rows_actor=None) -> Trajectory:
     """Rollout starting from an explicit per-lane state vector.
 
     Passing the initial indices lets callers attach a sharding constraint to
@@ -162,6 +203,22 @@ def rollout_from(tree: GameTree, actor_fn: ActorFn, variables,
     ``obs_dtype``, e.g. the actor net's compute dtype) in the trajectory,
     sparing the learner the packed-row re-gather; the mover's legal mask is
     a slice of it (see ``Trajectory.obs``).
+
+    ``lane_chunks > 1`` rolls the lanes out as that many sequential
+    sub-batches (``lax.map``) and restitches the trajectory along the lane
+    axis.  Above ~131k lanes per chip the per-turn (B, 128) gather/repack
+    intermediates exceed XLA:TPU's scoped-memory budget and every stage of
+    the obs chain round-trips HBM at poor tilings (measured 35%+ rollout
+    regression at 262k — docs/PERF_ANALYSIS.md); chunking keeps each
+    sub-batch at the proven-fast shape.  Single-chip knob only: under GSPMD
+    sharding the per-device batch is what matters, so sharded callers keep
+    the default 1.  Chunked runs split the RNG per chunk, so they roll
+    different (equally valid) episodes than the unchunked program.
+
+    ``rows_actor`` (see ``make_mlp_rows_actor``) replaces ``actor_fn`` with
+    a fast path that consumes the gathered packed rows directly, skipping
+    the per-turn obs slice/concat copies; same math as the generic path up
+    to matmul reduction order.
     """
     if num_turns is None:
         num_turns = tree.max_depth
@@ -169,27 +226,50 @@ def rollout_from(tree: GameTree, actor_fn: ActorFn, variables,
         packed = stepping.make_packed_tables(tree)
     B = init_indices.shape[0]
     A = packed.max_actions
+    if lane_chunks > 1:
+        if B % lane_chunks:
+            raise ValueError(f"batch {B} not divisible by {lane_chunks}")
+        sub = functools.partial(
+            rollout_from, tree, actor_fn, variables,
+            num_turns=num_turns, packed=packed, store_obs=store_obs,
+            obs_dtype=obs_dtype, rows_actor=rows_actor)
+        records = jax.lax.map(
+            lambda args: sub(args[0], args[1]),
+            (jax.random.split(key, lane_chunks),
+             init_indices.reshape(lane_chunks, B // lane_chunks)))
+        return jax.tree.map(
+            lambda x: jnp.moveaxis(x, 0, 1).reshape(
+                (x.shape[1], B) + x.shape[3:]), records)
+
+    rows_apply = rows_actor(variables) if rows_actor is not None else None
 
     def turn_fn(indices, key_t):
         k_act, k_ch = jax.random.split(key_t)
         rows = stepping.lookup(packed, indices)
-        row_obs, col_obs = stepping.slice_observations(packed, rows)
-        obs2 = jnp.concatenate([row_obs, col_obs], axis=0)  # (2B, 2, A, A)
-        logits, value = actor_fn(variables, obs2)
+        obs2 = None
+        if rows_apply is None or store_obs:
+            row_obs, col_obs = stepping.slice_observations(packed, rows)
+            obs2 = jnp.concatenate([row_obs, col_obs], axis=0)  # (2B,2,A,A)
+        if rows_apply is None:
+            logits, value = actor_fn(variables, obs2)
+            logits2, value2 = logits.reshape(2, B, A), value.reshape(2, B)
+        else:
+            logits2, value2 = rows_apply(rows)  # (2, B, A), (2, B)
         row_mask, col_mask = stepping.slice_action_masks(packed, rows)
-        legal = jnp.concatenate([row_mask, col_mask], axis=0)  # (2B, A)
-        policy = common.masked_policy(logits, legal)
-        actions = common.sample_actions(k_act, logits, legal)  # (2B,)
+        legal2 = jnp.stack([row_mask, col_mask])  # (2, B, A)
+        policy = common.masked_policy(logits2, legal2)
+        actions = common.sample_actions(
+            k_act, logits2.reshape(2 * B, A), legal2.reshape(2 * B, A))
         new_indices, rewards = stepping.select_transition(
             packed, rows, actions[:B], actions[B:], k_ch)
         record = Trajectory(
             indices=jnp.stack([indices, indices]),
-            policy=policy.reshape(2, B, A),
+            policy=policy,
             actions=actions.reshape(2, B).astype(jnp.int32),
             rewards=jnp.stack([jnp.zeros((B,), rewards.dtype), rewards]),
-            values=value.reshape(2, B),
+            values=value2,
             obs=((obs2 if obs_dtype is None else obs2.astype(obs_dtype))
-                 .reshape((2, B) + row_obs.shape[1:])
+                 .reshape((2, B) + obs2.shape[1:])
                  if store_obs else None),
         )
         return new_indices, record

@@ -383,6 +383,40 @@ def mlp_fused_weights(params: dict, max_actions: int):
     return w0, b0, w1, b1
 
 
+def mlp_seat_fused_weights(params: dict, max_actions: int, d_pad: int,
+                           obs_width: int):
+    """Both seats' fused two-head MLP as ONE kernel over whole packed state
+    rows (the ops/stepping.py row layout): kernel rows [0, W_obs) carry the
+    row seat's fused [policy | value] first layer, rows [W_obs, 2*W_obs) the
+    col seat's, and every other table lane (masks, transition triples, pad)
+    gets a zero row — so the gathered (B, D_pad) row feeds the matmul
+    DIRECTLY, with no per-turn obs slice or (2B, ...) seat concat copies
+    (the dominant non-matmul HBM traffic of a rollout turn, see
+    docs/PERF_ANALYSIS.md).  Adding the x*0 terms of the dead lanes is
+    exact in floating point, and K = D_pad occupies the same single
+    128-wide MXU tile the sliced path's padded K already paid for.
+
+    Second layer is the (4W, 2*(A+1)) block-diagonal of the per-seat fused
+    head: output columns [0, A) row logits, A row value, [A+1, 2A+1) col
+    logits, 2A+1 col value.
+
+    Returns (W0 (D_pad, 4W), b0 (4W,), W1 (4W, 2(A+1)), b1 (2(A+1),)).
+    Depth-1 MLPs only (same restriction as mlp_fused_weights)."""
+    w0, b0, w1, b1 = mlp_fused_weights(params, max_actions)
+    din, two_w = w0.shape
+    if din != obs_width:
+        raise ValueError(f"MLP input dim {din} != packed obs width "
+                         f"{obs_width}")
+    W0 = jnp.zeros((d_pad, 2 * two_w), w0.dtype)
+    W0 = W0.at[:din, :two_w].set(w0)
+    W0 = W0.at[din:2 * din, two_w:].set(w0)
+    out = w1.shape[1]
+    W1 = jnp.zeros((2 * two_w, 2 * out), w1.dtype)
+    W1 = W1.at[:two_w, :out].set(w1)
+    W1 = W1.at[two_w:, out:].set(w1)
+    return (W0, jnp.concatenate([b0, b0]), W1, jnp.concatenate([b1, b1]))
+
+
 def mlp_multi_net_forward(net, params_list, obs_flat: jax.Array):
     """N two-head MLP forwards over the same observations as TWO matmuls.
 

@@ -150,6 +150,68 @@ def test_engine_across_game_shapes(A, T, depth):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_rows_actor_rollout_equivalent(small_tree):
+    """The seat-fused rows-actor (one matmul pair off the packed rows) must
+    compute the same policy/value math as the generic obs-slice path up to
+    matmul reduction order (zero kernel rows contribute exact x*0 terms,
+    but the wider contraction may sum in a different order — observed <=1
+    ulp on CPU), and the sampling shapes are unchanged, so the rolled
+    episodes coincide except at measure-zero sampling ties (none at this
+    seed)."""
+    from rnad_tpu.ops import stepping
+
+    t = small_tree
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=32))
+    variables = nets.init_variables(net, jax.random.PRNGKey(1), 3)
+    actor = lambda vs, obs: nets.apply_eval(net, vs, obs)
+    packed = stepping.make_packed_tables(t)
+    rows_actor = engine.make_mlp_rows_actor(net, packed)
+    key = jax.random.PRNGKey(7)
+    base = engine.rollout(t, actor, variables, key, 128, packed=packed)
+    fast = engine.rollout(t, actor, variables, key, 128, packed=packed,
+                          rows_actor=rows_actor)
+    for name in ("indices", "actions", "rewards"):
+        np.testing.assert_array_equal(np.asarray(getattr(fast, name)),
+                                      np.asarray(getattr(base, name)),
+                                      err_msg=name)
+    np.testing.assert_allclose(np.asarray(fast.policy),
+                               np.asarray(base.policy), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fast.values),
+                               np.asarray(base.values),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_rows_actor_rejects_deep_mlp(small_tree):
+    from rnad_tpu.ops import stepping
+
+    t = small_tree
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=32,
+                                   depth=2))
+    variables = nets.init_variables(net, jax.random.PRNGKey(1), 3)
+    packed = stepping.make_packed_tables(t)
+    with pytest.raises(ValueError, match="depth=1"):
+        engine.make_mlp_rows_actor(net, packed)(variables)
+
+
+def test_lane_chunked_rollout_matches_manual_stitch(small_tree):
+    """lane_chunks=k must equal k sequential sub-rollouts with the split
+    keys, concatenated along lanes (the single-chip big-batch mode that
+    keeps per-turn intermediates inside scoped memory, docs/PERF_ANALYSIS)."""
+    t = small_tree
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=32))
+    variables = nets.init_variables(net, jax.random.PRNGKey(1), 3)
+    actor = lambda vs, obs: nets.apply_eval(net, vs, obs)
+    key = jax.random.PRNGKey(9)
+    chunked = engine.rollout(t, actor, variables, key, 128, lane_chunks=4)
+    subkeys = jax.random.split(key, 4)
+    parts = [engine.rollout_from(t, actor, variables, k,
+                                 jnp.ones((32,), jnp.int32))
+             for k in subkeys]
+    manual = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *parts)
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: bool((a == b).all()), chunked, manual))
+
+
 def test_stored_obs_matches_rederived(small_tree):
     """rollout(store_obs=True) must store exactly the observations/masks the
     packed-table re-derivation would produce, and the same episodes."""

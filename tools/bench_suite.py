@@ -71,6 +71,13 @@ def main():
                         help="also bench the fully-fused Pallas rollout "
                              "turn (ops/pallas_turn.py; MLP + VMEM-table "
                              "trees only)")
+    parser.add_argument("--max-lanes-per-chunk", type=int, default=1 << 17,
+                        help="rollout batches above this run lane-chunked "
+                             "(engine lane_chunks): above ~131k lanes per "
+                             "chip the one-program rollout both regresses "
+                             "(scoped-memory spill) and MISCOMPILES "
+                             "(garbage reward sums) on XLA:TPU — "
+                             "docs/PERF_ANALYSIS.md")
     args = parser.parse_args()
 
     from tools import roofline
@@ -159,10 +166,21 @@ def main():
         # at 131k lanes).
         t_w = jnp.arange(1.0, T + 1.0)[:, None]
 
+        # Seat-fused rows-actor for the depth-1 MLP (+18% at 131k —
+        # engine.make_mlp_rows_actor); lane-chunking above the scoped-memory
+        # boundary (both a 35%+ regression AND a reward-sum miscompile were
+        # measured in the one-program form at 262k — docs/PERF_ANALYSIS.md).
+        rows_actor = (engine.make_mlp_rows_actor(net, packed)
+                      if args.net == "mlp" else None)
+        lane_chunks = -(-B // args.max_lanes_per_chunk)
+
         @jax.jit
-        def roll_many(tr, pk, vs, key, B=B, n=roll_iters):
+        def roll_many(tr, pk, vs, key, B=B, n=roll_iters,
+                      lane_chunks=lane_chunks):
             def body(carry, k):
-                traj = engine.rollout(tr, actor, vs, k, B, tr.max_depth, pk)
+                traj = engine.rollout(tr, actor, vs, k, B, tr.max_depth, pk,
+                                      lane_chunks=lane_chunks,
+                                      rows_actor=rows_actor)
                 acc, min_std = carry
                 return (acc + traj.rewards.sum(),
                         jnp.minimum(min_std,
@@ -176,15 +194,25 @@ def main():
         np.asarray(
             roll_many(tree, packed, variables, jax.random.PRNGKey(1))[0])
         t0 = time.perf_counter()
-        _, min_std = roll_many(tree, packed, variables, jax.random.PRNGKey(2))
+        acc, min_std = roll_many(tree, packed, variables,
+                                 jax.random.PRNGKey(2))
         min_std = float(np.asarray(min_std))
+        mean_return = float(np.asarray(acc)) / (B * roll_iters)
         dt = (time.perf_counter() - t0) / roll_iters
         assert min_std > 0.0, "PRNG lane collapse in the measured program"
+        # Terminal values are in [-1, 1]: a mean return outside that range
+        # means the measured program computed garbage (the 262k one-program
+        # miscompile manifests as a ~1e27 reward sum).
+        assert abs(mean_return) <= 1.0, \
+            f"miscompiled rollout program: mean return {mean_return}"
         rmodel = (roofline.rollout_model(A, tree.max_transitions,
                                          tree.max_depth, B, net.width)
                   if model_roofline else None)
+        extra = roofline.annotate(rmodel, dt) if model_roofline else {}
+        if lane_chunks > 1:
+            extra["lane_chunks"] = lane_chunks
         emit("rollout_env_steps_per_s", T * B / dt, "steps/s", batch=B,
-             **(roofline.annotate(rmodel, dt) if model_roofline else {}))
+             **extra)
 
         if args.fused_turn:
             from rnad_tpu.ops import pallas_turn
