@@ -243,23 +243,35 @@ def rollout_from(tree: GameTree, actor_fn: ActorFn, variables,
 
     rows_apply = rows_actor(variables) if rows_actor is not None else None
 
+    # NOTE: the generic (rows_apply is None) branch below reproduces the
+    # pre-rows-actor turn byte for byte — same ops at the same shapes.  The
+    # fused train step embeds this code, and XLA:TPU's large-program
+    # miscompiles are an unstable function of program SHAPE (docs/
+    # PERF_ANALYSIS.md), so the hardware-verified form must not be
+    # perturbed even in mathematically-equivalent ways.
     def turn_fn(indices, key_t):
         k_act, k_ch = jax.random.split(key_t)
         rows = stepping.lookup(packed, indices)
-        obs2 = None
-        if rows_apply is None or store_obs:
+        if rows_apply is not None:
+            logits2, value2 = rows_apply(rows)  # (2, B, A), (2, B)
+            row_mask, col_mask = stepping.slice_action_masks(packed, rows)
+            legal2 = jnp.stack([row_mask, col_mask])  # (2, B, A)
+            policy = common.masked_policy(logits2, legal2)
+            actions = common.sample_actions(
+                k_act, logits2.reshape(2 * B, A), legal2.reshape(2 * B, A))
+            obs2 = None
+            if store_obs:
+                row_obs, col_obs = stepping.slice_observations(packed, rows)
+                obs2 = jnp.concatenate([row_obs, col_obs], axis=0)
+        else:
             row_obs, col_obs = stepping.slice_observations(packed, rows)
             obs2 = jnp.concatenate([row_obs, col_obs], axis=0)  # (2B,2,A,A)
-        if rows_apply is None:
             logits, value = actor_fn(variables, obs2)
-            logits2, value2 = logits.reshape(2, B, A), value.reshape(2, B)
-        else:
-            logits2, value2 = rows_apply(rows)  # (2, B, A), (2, B)
-        row_mask, col_mask = stepping.slice_action_masks(packed, rows)
-        legal2 = jnp.stack([row_mask, col_mask])  # (2, B, A)
-        policy = common.masked_policy(logits2, legal2)
-        actions = common.sample_actions(
-            k_act, logits2.reshape(2 * B, A), legal2.reshape(2 * B, A))
+            row_mask, col_mask = stepping.slice_action_masks(packed, rows)
+            legal = jnp.concatenate([row_mask, col_mask], axis=0)  # (2B, A)
+            policy = common.masked_policy(logits, legal).reshape(2, B, A)
+            actions = common.sample_actions(k_act, logits, legal)  # (2B,)
+            value2 = value.reshape(2, B)
         new_indices, rewards = stepping.select_transition(
             packed, rows, actions[:B], actions[B:], k_ch)
         record = Trajectory(
