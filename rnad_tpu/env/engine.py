@@ -155,6 +155,27 @@ def make_mlp_rows_actor(net, packed: stepping.PackedTables):
     scan.
     """
     from ..models import nets as nets_lib
+    from ..models.nets import MLP
+
+    # Validate up front what the fused-kernel packing silently assumes: a
+    # depth-1 f32 MLP.  A bfloat16 MLP would compute in f32 here (the raw
+    # params feed the matmul directly, diverging from the generic actor
+    # path), and a non-MLP net would fail later with an opaque KeyError.
+    if not isinstance(net, MLP):
+        raise ValueError(
+            f"make_mlp_rows_actor requires an MLP net, got "
+            f"{type(net).__name__}; use the generic actor_fn path")
+    if net.depth != 1:
+        raise ValueError(
+            f"make_mlp_rows_actor supports depth=1 MLPs only (got depth="
+            f"{net.depth}); mlp_seat_fused_weights cannot express hidden "
+            f"layers")
+    if jnp.dtype(net.dtype) != jnp.float32:
+        raise ValueError(
+            f"make_mlp_rows_actor computes in float32 (measured no gain "
+            f"from bf16 at rollout shapes, docs/PERF_ANALYSIS.md); net "
+            f"dtype {jnp.dtype(net.dtype).name} would silently diverge "
+            f"from the generic actor path")
 
     A = packed.max_actions
 
@@ -226,6 +247,11 @@ def rollout_from(tree: GameTree, actor_fn: ActorFn, variables,
         packed = stepping.make_packed_tables(tree)
     B = init_indices.shape[0]
     A = packed.max_actions
+    if lane_chunks < 1:
+        # Silently running the unchunked one-program path here would defeat
+        # the exact purpose of the knob (miscompile avoidance above ~131k
+        # lanes, docs/PERF_ANALYSIS.md).
+        raise ValueError(f"lane_chunks must be >= 1, got {lane_chunks}")
     if lane_chunks > 1:
         if B % lane_chunks:
             raise ValueError(f"batch {B} not divisible by {lane_chunks}")

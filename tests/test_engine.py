@@ -187,10 +187,36 @@ def test_rows_actor_rejects_deep_mlp(small_tree):
     t = small_tree
     net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=32,
                                    depth=2))
-    variables = nets.init_variables(net, jax.random.PRNGKey(1), 3)
     packed = stepping.make_packed_tables(t)
     with pytest.raises(ValueError, match="depth=1"):
-        engine.make_mlp_rows_actor(net, packed)(variables)
+        engine.make_mlp_rows_actor(net, packed)
+
+
+def test_rows_actor_rejects_non_mlp_and_bf16(small_tree):
+    """The fast path encodes depth-1 f32 MLP assumptions; anything else
+    must fail up front with a clear message, not an opaque KeyError or a
+    silent f32 computation for a bf16 net."""
+    from rnad_tpu.ops import stepping
+
+    t = small_tree
+    packed = stepping.make_packed_tables(t)
+    conv = nets.build_net(NetConfig(type="ConvNet", max_actions=3,
+                                    channels=4))
+    with pytest.raises(ValueError, match="MLP"):
+        engine.make_mlp_rows_actor(conv, packed)
+    bf16 = nets.build_net(NetConfig(type="MLP", max_actions=3, width=32,
+                                    compute_dtype="bfloat16"))
+    with pytest.raises(ValueError, match="float32"):
+        engine.make_mlp_rows_actor(bf16, packed)
+
+
+def test_rollout_rejects_nonpositive_lane_chunks(small_tree):
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=32))
+    variables = nets.init_variables(net, jax.random.PRNGKey(1), 3)
+    actor = lambda vs, obs: nets.apply_eval(net, vs, obs)
+    with pytest.raises(ValueError, match="lane_chunks"):
+        engine.rollout(small_tree, actor, variables, jax.random.PRNGKey(0),
+                       16, lane_chunks=0)
 
 
 def test_lane_chunked_rollout_matches_manual_stitch(small_tree):

@@ -172,7 +172,11 @@ def main():
         # measured in the one-program form at 262k — docs/PERF_ANALYSIS.md).
         rows_actor = (engine.make_mlp_rows_actor(net, packed)
                       if args.net == "mlp" else None)
-        lane_chunks = -(-B // args.max_lanes_per_chunk)
+        # Smallest divisor of B with chunks <= max lanes each: ceil division
+        # alone can produce a chunk count that does not divide a
+        # non-power-of-two B, which rollout_from rejects.
+        lane_chunks = next(k for k in range(-(-B // args.max_lanes_per_chunk),
+                                            B + 1) if B % k == 0)
 
         @jax.jit
         def roll_many(tr, pk, vs, key, B=B, n=roll_iters,

@@ -109,7 +109,7 @@ def main():
         results[name] = rate
         print(json.dumps({"variant": name, "half_steps_per_s": round(rate),
                           "dt_s": round(dt, 3),
-                          "mean_return": round(acc / (B * args.iters), 4)}))
+                          "mean_return": round(mean_return, 4)}))
 
     if "base" in results:
         for k, v in results.items():
