@@ -61,6 +61,10 @@ def main():
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--gamma-avg", type=float, default=None,
                    help="EMA rate of the target net (gamma_averaging)")
+    p.add_argument("--fuse-net-passes", default=None,
+                   choices=["off", "frozen", "all", "auto"],
+                   help="fuse the step's identical-shape MLP forwards into "
+                        "one matmul pair (RNaDConfig.fuse_net_passes)")
     p.add_argument("--frozen-dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="dtype of the 3 frozen-net learner forwards")
@@ -130,6 +134,8 @@ def main():
 
     buffer_kw = dict(n_batches_per_buffer=args.n_batches_per_buffer,
                      buffer_mod=args.buffer_mod)
+    if args.fuse_net_passes is not None:
+        buffer_kw["fuse_net_passes"] = args.fuse_net_passes
     if args.demo:
         cfg = RNaDConfig(batch_size=512, eta=args.eta, bounds=(64,),
                          delta_m=(100,), lr=1e-3, gamma_averaging=0.01,

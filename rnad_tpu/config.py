@@ -172,6 +172,21 @@ class RNaDConfig:
     # only the reward-transform/target precision changes, not the gradient
     # path.  float32 matches the reference bit-for-bit.
     frozen_net_dtype: str = "float32"
+    # Fuse the learner step's structurally-identical net forwards into one
+    # matmul pair via models/nets.py::mlp_multi_net_forward (depth-1 MLP
+    # only — the shape whose 4 separate passes re-read the (T*B, 18)
+    # observations four times):
+    #   "off"    — separate passes (any net family; reference-shaped).
+    #   "frozen" — EMA target + regularization pair as ONE fused pass (x is
+    #              read once instead of three times); the learner's
+    #              gradient path is untouched.
+    #   "all"    — all four nets in one pass; gradients flow through the
+    #              learner block only (the frozen params are
+    #              stop_gradient'ed), but the backward matmuls span the
+    #              full fused width.
+    #   "auto"   — "frozen" for depth-1 MLPs (the measured winner at 32k
+    #              lanes, docs/PERF_ANALYSIS.md), "off" otherwise.
+    fuse_net_passes: str = "off"
     # False drops the diagnostic metrics (policy klds, logit stats,
     # trajectory length — reference rnad.py:427-454) from the compiled step,
     # keeping only the three loss scalars; the diagnostics cost real step

@@ -98,6 +98,34 @@ def _forward_trajectory(net, variables, observations, train: bool,
     return logits.reshape(T, B, -1), v.reshape(T, B), mutated
 
 
+def resolve_fuse_mode(net, cfg: RNaDConfig) -> str:
+    """Resolves ``cfg.fuse_net_passes`` against the net family (the fused
+    matmul packing exists only for the depth-1 MLP shape) and rejects
+    silently-diverging combinations up front."""
+    mode = cfg.fuse_net_passes
+    is_flat_mlp = isinstance(net, nets.MLP) and net.depth == 1
+    if mode == "auto":
+        return "frozen" if is_flat_mlp else "off"
+    if mode in ("frozen", "all"):
+        if not is_flat_mlp:
+            raise ValueError(
+                f"fuse_net_passes={mode!r} requires a depth-1 MLP "
+                f"(mlp_multi_net_forward packing); got "
+                f"{type(net).__name__} with depth "
+                f"{getattr(net, 'depth', '?')}")
+        if (mode == "all"
+                and jnp.dtype(cfg.frozen_net_dtype) != jnp.dtype(net.dtype)):
+            raise ValueError(
+                f"fuse_net_passes='all' runs all four nets in the learner's "
+                f"compute dtype ({jnp.dtype(net.dtype).name}); set "
+                f"frozen_net_dtype to match (got "
+                f"{cfg.frozen_net_dtype!r}) or use 'frozen'")
+        return mode
+    if mode != "off":
+        raise ValueError(f"unknown fuse_net_passes mode {mode!r}")
+    return mode
+
+
 def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
                reg_prev_vars, packed, traj: engine.Trajectory,
                alpha: jax.Array, cfg: RNaDConfig,
@@ -115,38 +143,62 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
     to reduction order (see parallel/shard_map_step.py)."""
     gsum = ((lambda x: jax.lax.psum(x, axis_name))
             if axis_name is not None else None)
+    fuse = resolve_fuse_mode(net, cfg)
     learner_vars = dict(aux_collections, params=learner_params)
     valid = traj.valid()
     player_id = traj.turns
     observations, masks = engine.trajectory_observations(packed, traj)
     actions_oh = traj.actions_oh()
+    T, B = traj.rewards.shape
+    A = traj.policy.shape[-1]
+    obs_flat = observations.reshape((T * B,) + observations.shape[2:])
 
-    logits, v_raw, mutated = _forward_trajectory(net, learner_vars,
-                                                 observations, train=True,
-                                                 valid=valid)
+    # Frozen nets: EMA target for values, regularization pair for the
+    # R-NaD transform (reference rnad.py:377-382).  All three share the
+    # architecture and are gradient-free inputs to the v-trace targets, so
+    # the learner's gradient path stays f32 even when they run in bfloat16
+    # (cfg.frozen_net_dtype).  Three execution strategies (fuse_net_passes):
+    # separate vmapped passes (any family), one fused matmul pair for the
+    # three frozen nets, or one fused pair for all FOUR nets including the
+    # learner (nets.mlp_multi_net_forward — the observations are read from
+    # HBM once instead of four times, the dominant learner-side traffic for
+    # the reference-shaped MLP, docs/PERF_ANALYSIS.md).
+    sg = jax.lax.stop_gradient
+    if fuse == "all":
+        params4 = [learner_params, sg(target_vars["params"]),
+                   sg(reg_vars["params"]), sg(reg_prev_vars["params"])]
+        logits4, values4 = nets.mlp_multi_net_forward(net, params4, obs_flat)
+        logits = logits4[:, 0].reshape(T, B, A)
+        v_raw = values4[:, 0].reshape(T, B)
+        mutated = {}
+        logits3 = jnp.moveaxis(logits4[:, 1:], 1, 0)  # (3, T*B, A)
+        values3 = jnp.moveaxis(values4[:, 1:], 1, 0)  # (3, T*B)
+    else:
+        logits, v_raw, mutated = _forward_trajectory(net, learner_vars,
+                                                     observations,
+                                                     train=True, valid=valid)
+        frozen_net = net
+        if cfg.frozen_net_dtype != "float32":
+            frozen_net = net.clone(dtype=jnp.dtype(cfg.frozen_net_dtype))
+        if fuse == "frozen":
+            params3 = [target_vars["params"], reg_vars["params"],
+                       reg_prev_vars["params"]]
+            logits3, values3 = nets.mlp_multi_net_forward(
+                frozen_net, params3, obs_flat)
+            logits3 = jnp.moveaxis(logits3, 1, 0)  # (3, T*B, A)
+            values3 = jnp.moveaxis(values3, 1, 0)  # (3, T*B)
+        else:
+            frozen = jax.tree.map(lambda a, b, c: jnp.stack([a, b, c]),
+                                  target_vars, reg_vars, reg_prev_vars)
+            logits3, values3 = jax.vmap(
+                lambda v: nets.apply_eval(frozen_net, v, obs_flat))(frozen)
+
     v = v_raw[..., None]
     pi = common.masked_policy(logits, masks)
     log_pi = common.masked_log_policy(logits, masks)
     pi_processed = vtrace.process_policy(pi, masks, cfg.n_discrete,
                                          cfg.epsilon_threshold)
     pi_processed_sg = jax.lax.stop_gradient(pi_processed)
-
-    # Frozen nets: EMA target for values, regularization pair for the
-    # R-NaD transform (reference rnad.py:377-382).  All three share the
-    # architecture, so their forwards run as ONE vmapped batched matmul
-    # instead of three separate passes over (T*B) observations; optionally
-    # in bfloat16 (cfg.frozen_net_dtype) — they are gradient-free inputs to
-    # the v-trace targets, so the learner's gradient path stays f32.
-    T, B = traj.rewards.shape
-    obs_flat = observations.reshape((T * B,) + observations.shape[2:])
-    frozen_net = net
-    if cfg.frozen_net_dtype != "float32":
-        frozen_net = net.clone(dtype=jnp.dtype(cfg.frozen_net_dtype))
-    frozen = jax.tree.map(lambda a, b, c: jnp.stack([a, b, c]),
-                          target_vars, reg_vars, reg_prev_vars)
-    logits3, values3 = jax.vmap(
-        lambda v: nets.apply_eval(frozen_net, v, obs_flat))(frozen)
-    A = traj.policy.shape[-1]
     logits_t = logits3[0].reshape(T, B, A)
     pi_target = common.masked_policy(logits_t, masks)
     v_target_net = jax.lax.stop_gradient(

@@ -421,13 +421,14 @@ def mlp_multi_net_forward(net, params_list, obs_flat: jax.Array):
     """N two-head MLP forwards over the same observations as TWO matmuls.
 
     The learner step needs 4 structurally-identical nets (learner, EMA
-    target, regularization pair) on one observation batch.  Separate
-    applies cost 16 small matmul kernels plus a weight-prefetch DMA each
-    (the dominant learner overhead on v5e — see docs/PERF.md); here every
+    target, regularization pair) on one observation batch; separate applies
+    re-read the (T*B, 2A^2) observations from HBM once per net.  Here every
     net's fused W0 concatenates into (din, N*2W) and the W1s into a
-    block-diagonal (N*2W, N*(A+1)), so the whole thing is two MXU calls.
-    Gradients flow only through entries whose params were not
-    stop_gradient'ed by the caller.
+    block-diagonal (N*2W, N*(A+1)), so the whole thing is two MXU calls and
+    one observation read.  Wired into the train step by
+    ``RNaDConfig.fuse_net_passes`` (learn/rnad.py::learn_loss); gradients
+    flow only through entries whose params were not stop_gradient'ed by the
+    caller.
 
     Returns (logits (N_obs, n, A) f32, values (N_obs, n) f32)."""
     A = net.max_actions

@@ -296,3 +296,47 @@ def test_stored_obs_same_update(small_tree):
         lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
         states[0].variables, states[1].variables)
     assert jax.tree.all(same)
+
+
+def test_fuse_net_passes_same_update(small_tree):
+    """fuse_net_passes 'frozen' / 'all' pack the step's identical-shape MLP
+    forwards into one matmul pair (nets.mlp_multi_net_forward).  The packing
+    only widens contractions with exact-zero blocks and concatenates along
+    the non-reduced axis, so the update must match the separate-pass path to
+    reduction-order tolerance (bit-identical on CPU's sequential dots)."""
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16))
+    states, metric_sets = [], []
+    for mode in ("off", "frozen", "all"):
+        cfg = small_cfg(batch_size=48, fuse_net_passes=mode)
+        train_step, _, _, _ = rnad_lib.make_rnad_fns(net, small_tree, cfg)
+        state = rnad_lib.init_train_state(net, jax.random.PRNGKey(3), 3, cfg)
+        state, metrics = train_step(state, jnp.float32(0.5))
+        states.append(state)
+        metric_sets.append(metrics)
+    base = states[0]
+    for mode_i, other in enumerate(states[1:], start=1):
+        close = jax.tree.map(
+            lambda a, b: np.allclose(np.asarray(a), np.asarray(b),
+                                     rtol=2e-6, atol=1e-7),
+            base.variables, other.variables)
+        assert jax.tree.all(close), ("off", "frozen", "all")[mode_i]
+    for m in metric_sets[1:]:
+        np.testing.assert_allclose(float(m["loss"]),
+                                   float(metric_sets[0]["loss"]), rtol=1e-5)
+
+
+def test_fuse_net_passes_auto_and_rejections(small_tree):
+    deep = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16,
+                                    depth=2))
+    flat = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16))
+    assert rnad_lib.resolve_fuse_mode(flat, small_cfg(
+        fuse_net_passes="auto")) == "frozen"
+    assert rnad_lib.resolve_fuse_mode(deep, small_cfg(
+        fuse_net_passes="auto")) == "off"
+    with pytest.raises(ValueError, match="depth-1 MLP"):
+        rnad_lib.resolve_fuse_mode(deep, small_cfg(fuse_net_passes="frozen"))
+    with pytest.raises(ValueError, match="frozen_net_dtype"):
+        rnad_lib.resolve_fuse_mode(flat, small_cfg(
+            fuse_net_passes="all", frozen_net_dtype="bfloat16"))
+    with pytest.raises(ValueError, match="unknown"):
+        rnad_lib.resolve_fuse_mode(flat, small_cfg(fuse_net_passes="bogus"))
