@@ -72,6 +72,18 @@ class TreeConfig:
     row_actions_rule: ShapingRule = ShapingRule()
     col_actions_rule: ShapingRule = ShapingRule()
     depth_bound_rule: ShapingRule = ShapingRule(delta=-1)
+    # Which equilibrium to STORE on degenerate nodes (games with multiple
+    # Nash equilibria); the game value and the oracle invariants are
+    # identical for every choice (env/solver.py module docstring):
+    #   "vertex" — the LP simplex's optimal vertex (default; typically pure)
+    #   "pure"   — a pure saddle point whenever one exists (the reference
+    #              CODE's pick: its purity sort places pure solutions first,
+    #              reference tree.py:226-234)
+    #   "mixed"  — the maximal-support point of the optimal face (the
+    #              reference COMMENT's stated intent, "favor mixed over
+    #              pure"; costs one small LP per support atom on the
+    #              degenerate nodes)
+    equilibrium_selection: str = "vertex"
     desc: str = ""
 
     def root_row_actions(self) -> int:

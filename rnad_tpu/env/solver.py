@@ -10,15 +10,30 @@ equilibrium (equilibrium exchangeability), and its bilinear value is the game
 value — which is what makes the generator's stored solution an exact oracle
 (NashConv == 0, reference tests/test_nashconv.py:28).
 
-Documented divergence — equilibrium selection on degenerate games: when a
-game has multiple equilibria the reference sorts its enummixed/lcp solution
-list mixed-first and stores the most-mixed one (reference tree.py:226-231);
-the simplex here returns a single optimal *vertex* of the LP polytope, which
-for degenerate games is typically pure.  Both picks are exact equilibria of
-the same value (exchangeability), so everything derived from the solution —
-oracle payoffs, root values, NashConv==0 self-checks, best-response metrics
-— is identical; only the stored strategy on degenerate nodes differs.  See
-tests/test_solver.py::test_degenerate_tie_break_documented_divergence.
+Equilibrium selection on degenerate games: when a game has multiple
+equilibria the simplex here returns a single optimal *vertex* of the LP
+polytope.  The reference sorts its enummixed/lcp solution list by a purity
+score and stores ``solutions[0]`` (reference tree.py:226-234, 293): the
+score is ``-(row is pure) - (col is pure)`` and Python's ascending sort
+therefore places the most-PURE solutions first — i.e. despite the adjacent
+"we favor mixed over pure" comment, the reference's *code* stores the purest
+listed equilibrium, which our vertex pick already resembles.  Both reference
+interpretations are available as explicit re-selection passes over the
+solved game (``refine_equilibrium_batch`` /
+``TreeConfig.equilibrium_selection``):
+
+  * ``"pure"``  — store a pure saddle point whenever one exists (what the
+    reference code does on games that have one);
+  * ``"mixed"`` — store the maximal-support point of the optimal face (what
+    the reference comment says it wants), via one small LP per candidate
+    support atom on the (prefiltered) degenerate nodes.
+
+Every selection is an exact equilibrium of the same game value
+(exchangeability), so everything derived from the solution — oracle
+payoffs, root values, NashConv==0 self-checks, best-response metrics — is
+identical; only the stored strategy on degenerate nodes differs.  See
+tests/test_solver.py::test_degenerate_tie_break_documented_divergence and
+test_equilibrium_selection_*.
 """
 
 from __future__ import annotations
@@ -159,6 +174,117 @@ def solve_zero_sum_batch(payoff: np.ndarray, rows: np.ndarray,
             logging.warning("falling back to numpy zero-sum solver")
             _warned = True
         return _solve_batch_numpy(payoff, rows, cols)
+
+
+def _face_lp(cost: np.ndarray, A_ub: np.ndarray, b_ub: np.ndarray):
+    """min cost@z s.t. A_ub z <= b_ub, sum z = 1, z >= 0 (tiny, via HiGHS)."""
+    from scipy.optimize import linprog  # gated: only selection modes need it
+
+    n = cost.size
+    res = linprog(cost, A_ub=A_ub, b_ub=b_ub,
+                  A_eq=np.ones((1, n)), b_eq=[1.0],
+                  bounds=[(0.0, 1.0)] * n, method="highs")
+    return res.x if res.success else None
+
+
+def _max_support_side(M: np.ndarray, v: float, x0: np.ndarray,
+                      is_row: bool, tol: float) -> np.ndarray:
+    """Maximal-support point of one player's optimal face.
+
+    The row player's optimal face is {x >= 0, sum x = 1, x^T M >= v - tol};
+    for each candidate support atom i, one LP maximizes x_i over the face,
+    and the average of the maximizers (a convex combination, hence still in
+    the face) carries the union of their supports — the maximal support
+    attainable by any optimal strategy.
+    """
+    if is_row:
+        A_ub, b_ub = -M.T, -np.full(M.shape[1], v - tol)
+    else:
+        A_ub, b_ub = M, np.full(M.shape[0], v + tol)
+    n = x0.size
+    points = [x0]
+    for i in range(n):
+        cost = np.zeros(n)
+        cost[i] = -1.0
+        z = _face_lp(cost, A_ub, b_ub)
+        if z is not None and z[i] > tol:
+            points.append(np.clip(z, 0.0, None))
+    out = np.mean(points, axis=0)
+    out[out < tol] = 0.0
+    return out / out.sum()
+
+
+def refine_equilibrium_batch(payoff: np.ndarray, rows: np.ndarray,
+                             cols: np.ndarray, x: np.ndarray, y: np.ndarray,
+                             values: np.ndarray, mode: str,
+                             tol: float = 1e-7):
+    """Re-selects among each solved game's optimal strategies.
+
+    Args mirror ``solve_zero_sum_batch``'s outputs; returns refined
+    ``(x, y)`` (new arrays).  ``mode``:
+
+      * ``"pure"``  — wherever a pure saddle point exists, store the first
+        (lowest-index) one: the reference's sort places solutions containing
+        a probability-1 entry first (tree.py:226-234), so its stored pick on
+        such games is pure.  Vectorized, no LPs.
+      * ``"mixed"`` — on nodes whose optimal face provably extends beyond
+        the vertex's support (complementary slackness: any optimal x has
+        support inside the tight set {i : (M y*)_i = v}), replace the vertex
+        with the maximal-support face point (``_max_support_side``).
+
+    Every output is an optimal strategy of the same game (value unchanged);
+    only which equilibrium is stored changes.
+    """
+    if mode not in ("pure", "mixed"):
+        raise ValueError(f"unknown equilibrium selection mode {mode!r}")
+    payoff = np.asarray(payoff, dtype=np.float64)
+    S, max_r, max_c = payoff.shape
+    x = np.array(x, dtype=np.float64, copy=True)
+    y = np.array(y, dtype=np.float64, copy=True)
+    values = np.asarray(values, dtype=np.float64)
+    ridx = np.arange(max_r)
+    cidx = np.arange(max_c)
+    row_active = ridx[None, :] < np.asarray(rows)[:, None]  # (S, max_r)
+    col_active = cidx[None, :] < np.asarray(cols)[:, None]  # (S, max_c)
+    nontrivial = (np.asarray(rows) > 1) | (np.asarray(cols) > 1)
+
+    if mode == "pure":
+        # Row i is an optimal pure strategy iff min over active cols of
+        # M[i, :] >= v; col j iff max over active rows of M[:, j] <= v.
+        row_min = np.where(col_active[:, None, :], payoff, np.inf).min(2)
+        col_max = np.where(row_active[:, :, None], payoff, -np.inf).max(1)
+        rows_ok = row_active & (row_min >= values[:, None] - tol)
+        cols_ok = col_active & (col_max <= values[:, None] + tol)
+        saddle = nontrivial & rows_ok.any(1) & cols_ok.any(1)
+        pick_r = rows_ok.argmax(1)  # first optimal pure row
+        pick_c = cols_ok.argmax(1)
+        x[saddle] = np.eye(max_r)[pick_r[saddle]]
+        y[saddle] = np.eye(max_c)[pick_c[saddle]]
+        return x, y
+
+    # mixed: prefilter — the face extends beyond the vertex only if the
+    # tight set is strictly larger than the vertex support on either side.
+    payoff_masked = payoff * col_active[:, None, :]
+    My = np.einsum("src,sc->sr", payoff_masked, y)
+    xM = np.einsum("sr,src->sc", x, payoff * row_active[:, :, None])
+    tight_r = row_active & (My >= values[:, None] - tol)
+    tight_c = col_active & (xM <= values[:, None] + tol)
+    grow_r = tight_r.sum(1) > (x > tol).sum(1)
+    grow_c = tight_c.sum(1) > (y > tol).sum(1)
+    flagged = np.nonzero(nontrivial & (grow_r | grow_c))[0]
+    for s in flagged:
+        r, c = int(rows[s]), int(cols[s])
+        M = payoff[s, :r, :c]
+        if grow_r[s]:
+            x[s, :r] = _max_support_side(M, values[s], x[s, :r], True, tol)
+            x[s, r:] = 0.0
+        if grow_c[s]:
+            y[s, :c] = _max_support_side(M, values[s], y[s, :c], False, tol)
+            y[s, c:] = 0.0
+    if flagged.size:
+        logging.info("equilibrium selection (mixed): refined %d/%d nodes",
+                     flagged.size, S)
+    return x, y
 
 
 def exploitability(payoff: np.ndarray, x: np.ndarray, y: np.ndarray,

@@ -210,8 +210,26 @@ def generate_tree(config: TreeConfig, seed: int = 0,
     full_chance[0, 0, 0, 0] = 1.0
     full_legal[0, 0, 0, 0] = 1.0
 
+    if config.equilibrium_selection != "vertex":
+        # Re-select which equilibrium is stored on degenerate nodes
+        # (values are selection-invariant, so this cannot change the game
+        # or the hash; see env/solver.py module docstring).
+        node_rows = full_legal[:, 0, :, 0].sum(axis=1).astype(np.int64)
+        node_cols = full_legal[:, 0, 0, :].sum(axis=1).astype(np.int64)
+        x, y = solver.refine_equilibrium_batch(
+            full_ev[:, 0], node_rows, node_cols,
+            solution[:, :A], solution[:, A:], node_value,
+            config.equilibrium_selection)
+        solution = np.concatenate([x, y], axis=1)
+
     digest = hashlib.blake2b(digest_size=8)
-    digest.update(json.dumps(config.to_json(), sort_keys=True).encode())
+    cfg_json = config.to_json()
+    # The hash identifies the GAME: equilibrium selection changes only
+    # which of a degenerate node's equilibria is stored, never the game
+    # tensors training consumes, so it is excluded — which also keeps
+    # hashes of pre-selection-option trees valid.
+    cfg_json.pop("equilibrium_selection", None)
+    digest.update(json.dumps(cfg_json, sort_keys=True).encode())
     digest.update(np.int64(seed).tobytes())
     digest.update(full_index.tobytes())
     digest.update(full_value.astype(np.float32).tobytes())
@@ -231,6 +249,35 @@ def generate_tree(config: TreeConfig, seed: int = 0,
         max_depth=int(node_depth[1]),
         hash=tree_hash,
     )
+
+
+def select_equilibria(tree: GameTree, mode: str,
+                      tol: float = 3e-6) -> GameTree:
+    """Post-pass re-selection of the stored per-node equilibria.
+
+    Works on any tree (native-generated or loaded from disk) from the
+    stored tensors alone: each node's ``expected_value`` matrix IS the game
+    whose equilibrium the node's ``solution`` row stores.  The default
+    ``tol`` is sized for float32-stored tensors (the generation-time path
+    inside :func:`generate_tree` refines on float64 with a tighter one).
+    Values, topology and the content hash are unchanged — only which
+    optimal strategy degenerate nodes store.
+    """
+    if mode == "vertex":
+        return tree
+    A = tree.max_actions
+    legal = np.asarray(tree.legal, np.float64)
+    ev = np.asarray(tree.expected_value[:, 0], np.float64)
+    sol = np.asarray(tree.solution, np.float64)
+    values = np.asarray(tree.root_value[:, 0], np.float64)
+    node_rows = legal[:, 0, :, 0].sum(axis=1).astype(np.int64)
+    node_cols = legal[:, 0, 0, :].sum(axis=1).astype(np.int64)
+    x, y = solver.refine_equilibrium_batch(
+        ev, node_rows, node_cols, sol[:, :A], sol[:, A:], values, mode,
+        tol=tol)
+    solution = jnp.asarray(np.concatenate([x, y], axis=1),
+                           dtype=tree.solution.dtype)
+    return tree.replace(solution=solution)
 
 
 def generate_tree_native(config: TreeConfig, seed: int = 0,
@@ -256,14 +303,20 @@ def generate_tree_native(config: TreeConfig, seed: int = 0,
         max_nodes)
 
     digest = hashlib.blake2b(digest_size=8)
-    digest.update(json.dumps(config.to_json(), sort_keys=True).encode())
+    cfg_json = config.to_json()
+    # The hash identifies the GAME: equilibrium selection changes only
+    # which of a degenerate node's equilibria is stored, never the game
+    # tensors training consumes, so it is excluded — which also keeps
+    # hashes of pre-selection-option trees valid.
+    cfg_json.pop("equilibrium_selection", None)
+    digest.update(json.dumps(cfg_json, sort_keys=True).encode())
     digest.update(np.int64(seed).tobytes())
     digest.update(arrays["index"].tobytes())
     digest.update(arrays["value"].tobytes())
     tree_hash = int.from_bytes(digest.digest(), "little", signed=True)
 
     depth = arrays.pop("depth")
-    return GameTree(
+    tree = GameTree(
         index=jnp.asarray(arrays["index"]),
         value=jnp.asarray(arrays["value"]),
         chance=jnp.asarray(arrays["chance"]),
@@ -277,6 +330,7 @@ def generate_tree_native(config: TreeConfig, seed: int = 0,
         max_depth=int(depth[1]),
         hash=tree_hash,
     )
+    return select_equilibria(tree, config.equilibrium_selection)
 
 
 def depth_from_index(index: np.ndarray, chance: np.ndarray) -> np.ndarray:

@@ -149,3 +149,63 @@ def test_degenerate_integer_games_pivot_identical():
         np.testing.assert_array_equal(x1, x2, err_msg=f"trial {trial}")
         np.testing.assert_array_equal(y1, y2, err_msg=f"trial {trial}")
         assert abs(solver.exploitability(M[0], x1[0], y1[0], A, A)) < 1e-8
+
+
+def test_equilibrium_selection_mixed_max_support():
+    """'mixed' must return the maximal-support point of the optimal face
+    (the reference comment's "favor mixed over pure" intent).  On the
+    all-zero game every strategy is optimal, so the refined pick must have
+    full support; on a game with a unique equilibrium it must not move."""
+    M = np.zeros((2, 3, 3))
+    M[1] = [[0.0, -1.0, 1.0], [1.0, 0.0, -1.0], [-1.0, 1.0, 0.0]]  # RPS
+    rows = np.array([3, 3])
+    cols = np.array([3, 3])
+    x, y, v = solver.solve_zero_sum_batch(M, rows, cols)
+    xm, ym = solver.refine_equilibrium_batch(M, rows, cols, x, y, v, "mixed")
+    for s in range(2):
+        assert abs(solver.exploitability(M[s], xm[s], ym[s], 3, 3)) < 1e-6, s
+    # all-zero game: full support both sides (the vertex pick was pure)
+    assert (xm[0] > 0.01).all() and (ym[0] > 0.01).all()
+    # RPS: unique equilibrium, selection is a no-op
+    np.testing.assert_allclose(xm[1], x[1], atol=1e-9)
+    np.testing.assert_allclose(ym[1], y[1], atol=1e-9)
+
+
+def test_equilibrium_selection_pure_prefers_saddle():
+    """'pure' must store the first pure saddle point when one exists (the
+    reference CODE's purity sort puts pure solutions first) and keep the
+    vertex when none does."""
+    # row 1 dominates: saddle at (1, 1) (0-indexed); value 1 at M[1,1]=1?
+    M = np.zeros((2, 3, 3))
+    M[0] = [[0.0, -1.0, 2.0], [3.0, 1.0, 2.0], [-2.0, -1.0, 0.0]]
+    M[1] = [[0.0, -1.0, 1.0], [1.0, 0.0, -1.0], [-1.0, 1.0, 0.0]]  # RPS
+    rows = np.array([3, 3])
+    cols = np.array([3, 3])
+    x, y, v = solver.solve_zero_sum_batch(M, rows, cols)
+    xp, yp = solver.refine_equilibrium_batch(M, rows, cols, x, y, v, "pure")
+    assert abs(v[0] - 1.0) < 1e-9
+    np.testing.assert_allclose(xp[0], [0.0, 1.0, 0.0], atol=1e-12)
+    np.testing.assert_allclose(yp[0], [0.0, 1.0, 0.0], atol=1e-12)
+    np.testing.assert_allclose(xp[1], x[1], atol=1e-12)  # RPS: no saddle
+
+
+def test_equilibrium_selection_random_batch_still_equilibria():
+    """Both selection modes must return exact equilibria of the unchanged
+    game value on random (often degenerate) integer games."""
+    rng = np.random.default_rng(11)
+    B, A = 200, 4
+    M = rng.integers(-2, 3, size=(B, A, A)).astype(np.float64)
+    rows = rng.integers(1, A + 1, size=B)
+    cols = rng.integers(1, A + 1, size=B)
+    x, y, v = solver.solve_zero_sum_batch(M, rows, cols)
+    for mode in ("pure", "mixed"):
+        xr, yr = solver.refine_equilibrium_batch(M, rows, cols, x, y, v,
+                                                 mode)
+        for b in range(B):
+            r, c = int(rows[b]), int(cols[b])
+            expl = solver.exploitability(M[b], xr[b], yr[b], r, c)
+            assert abs(expl) < 1e-6, (mode, b, expl)
+            vv = xr[b, :r] @ M[b, :r, :c] @ yr[b, :c]
+            assert abs(vv - v[b]) < 1e-6, (mode, b)
+            # padding stays zero
+            assert np.all(xr[b, r:] == 0) and np.all(yr[b, c:] == 0)

@@ -119,3 +119,64 @@ def test_index_cycle_rejected_before_depth():
     index[2, 0, 0, 0] = 1
     with pytest.raises(AssertionError):
         tree_lib.assert_index_array_is_tree(index)
+
+
+def test_equilibrium_selection_tree_oracle():
+    """Trees generated with equilibrium_selection != 'vertex' must keep the
+    exact-oracle invariants (stored solution is an NE at every node, values
+    and hash unchanged) while actually changing the stored pick on
+    degenerate nodes."""
+    from rnad_tpu.config import ShapingRule
+    from rnad_tpu.env import solver
+
+    cfg = dict(max_actions=3, max_transitions=2, depth_bound=3,
+               transition_threshold=0.3,
+               depth_bound_rule=ShapingRule(delta=-1))
+    base = tree_lib.generate_tree(TreeConfig(**cfg), seed=5)
+    mixed = tree_lib.generate_tree(
+        TreeConfig(equilibrium_selection="mixed", **cfg), seed=5)
+    pure = tree_lib.generate_tree(
+        TreeConfig(equilibrium_selection="pure", **cfg), seed=5)
+    assert mixed.hash == base.hash == pure.hash
+    np.testing.assert_array_equal(np.asarray(mixed.root_value),
+                                  np.asarray(base.root_value))
+    for t in (mixed, pure):
+        tree_lib.validate(t)
+        # every stored solution is still an exact equilibrium of its node
+        A = t.max_actions
+        ev = np.asarray(t.expected_value[:, 0], np.float64)
+        legal = np.asarray(t.legal)
+        sol = np.asarray(t.solution, np.float64)
+        for s in range(1, t.size):
+            r = int(legal[s, 0, :, 0].sum())
+            c = int(legal[s, 0, 0, :].sum())
+            expl = solver.exploitability(ev[s], sol[s, :A], sol[s, A:], r, c)
+            assert abs(expl) < 1e-5, s
+
+
+def test_select_equilibria_postpass():
+    """The f32 post-pass (for native/loaded trees) must keep every stored
+    solution an exact equilibrium of its node, leave values/topology/hash
+    untouched, and actually grow support on degenerate nodes (borderline
+    degeneracy flags may differ from the f64 generation-time refinement, so
+    per-entry equality with it is NOT required)."""
+    cfg = TreeConfig(max_actions=3, max_transitions=2, depth_bound=3,
+                     transition_threshold=0.3)
+    base = tree_lib.generate_tree(cfg, seed=5)
+    post = tree_lib.select_equilibria(base, "mixed")
+    assert post.hash == base.hash
+    np.testing.assert_array_equal(np.asarray(post.root_value),
+                                  np.asarray(base.root_value))
+    A = base.max_actions
+    ev = np.asarray(base.expected_value[:, 0], np.float64)
+    legal = np.asarray(base.legal)
+    sol_b = np.asarray(base.solution, np.float64)
+    sol_p = np.asarray(post.solution, np.float64)
+    grew = 0
+    for s in range(1, base.size):
+        r = int(legal[s, 0, :, 0].sum())
+        c = int(legal[s, 0, 0, :].sum())
+        expl = solver.exploitability(ev[s], sol_p[s, :A], sol_p[s, A:], r, c)
+        assert abs(expl) < 1e-4, s
+        grew += int((sol_p[s] > 1e-3).sum() > (sol_b[s] > 1e-3).sum())
+    assert grew > 0  # the pass did something on this (degenerate-rich) tree
