@@ -40,6 +40,15 @@ def main():
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--tree-depth", type=int, default=3)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--run-dir", default=None,
+                   help="checkpoint directory (utils.checkpoint.RunStore); "
+                        "enables --save / --resume")
+    p.add_argument("--save", action="store_true",
+                   help="save a checkpoint at the end of the run")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --run-dir "
+                        "(the cluster shape may differ from the one that "
+                        "saved it: checkpoints hold global host arrays)")
     args = p.parse_args()
 
     import jax
@@ -68,13 +77,30 @@ def main():
     mesh = mesh_lib.make_mesh()  # spans ALL processes' devices
     (train_step, _, _, _), mesh, place_state = runtime.make_sharded_rnad_fns(
         net, tree, cfg, mesh=mesh)
-    state = place_state(rnad_lib.init_train_state(
-        net, jax.random.PRNGKey(args.seed), tree.max_actions, cfg))
+    template = rnad_lib.init_train_state(
+        net, jax.random.PRNGKey(args.seed), tree.max_actions, cfg)
+    store = None
+    if args.run_dir:
+        from rnad_tpu.utils.checkpoint import RunStore
+        root, name = os.path.split(os.path.normpath(args.run_dir))
+        store = RunStore(name, root or None)
+    if args.resume:
+        latest = store.latest()
+        assert latest is not None, f"no checkpoint to resume in {args.run_dir}"
+        # every process reads the shared checkpoint, then shards it over its
+        # own (possibly different-shaped) cluster mesh
+        state = place_state(store.load_checkpoint(*latest, template))
+    else:
+        state = place_state(template)
 
     losses = []
     for i in range(args.steps):
         state, metrics = train_step(state, jnp.float32(0.5))
         losses.append(runtime.host_value(metrics["loss"]))
+
+    if args.save:
+        total = int(runtime.host_value(state.total_steps))
+        store.save_checkpoint(0, total, state)
 
     checksum = runtime.host_value(jax.jit(
         lambda vs: jax.tree.reduce(

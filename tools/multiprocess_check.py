@@ -31,7 +31,9 @@ def free_port() -> int:
 
 
 def run_cluster(num_processes: int, devices_per_proc: int, steps: int,
-                batch_size: int, seed: int, timeout: int = 600) -> dict:
+                batch_size: int, seed: int, timeout: int = 600,
+                run_dir: str | None = None, save: bool = False,
+                resume: bool = False) -> dict:
     """Spawns the worker cluster; returns process 0's result dict."""
     port = free_port()
     out = tempfile.mktemp(suffix=".json")
@@ -39,13 +41,20 @@ def run_cluster(num_processes: int, devices_per_proc: int, steps: int,
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
                         f" --xla_force_host_platform_device_count="
                         f"{devices_per_proc}").strip()
+    extra = []
+    if run_dir:
+        extra += ["--run-dir", run_dir]
+    if save:
+        extra += ["--save"]
+    if resume:
+        extra += ["--resume"]
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tools", "mp_worker.py"),
              "--process-id", str(i), "--num-processes", str(num_processes),
              "--port", str(port), "--steps", str(steps),
              "--batch-size", str(batch_size), "--seed", str(seed),
-             "--cpu", "--out", out],
+             "--cpu", "--out", out] + extra,
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True)
         for i in range(num_processes)
@@ -74,6 +83,23 @@ def run_cluster(num_processes: int, devices_per_proc: int, steps: int,
 def run_single(steps: int, batch_size: int, seed: int) -> dict:
     """Same-seed single-process reference via one worker (1 proc cluster)."""
     return run_cluster(1, 1, steps, batch_size, seed)
+
+
+def run_resume_across(procs_a: int, devs_a: int, steps_a: int,
+                      procs_b: int, devs_b: int, steps_b: int,
+                      batch_size: int, seed: int) -> tuple:
+    """Mid-run resume across a CLUSTER SHAPE change: cluster A trains and
+    checkpoints, a differently-shaped cluster B resumes the checkpoint and
+    continues.  Checkpoints hold global host arrays (utils/checkpoint.py
+    fetches across processes before writing), so the continued run is
+    process-count independent — GSPMD invariance extended through the
+    serialization boundary."""
+    run_dir = os.path.join(tempfile.mkdtemp(prefix="mpresume_"), "run")
+    phase1 = run_cluster(procs_a, devs_a, steps_a, batch_size, seed,
+                         run_dir=run_dir, save=True)
+    phase2 = run_cluster(procs_b, devs_b, steps_b, batch_size, seed,
+                         run_dir=run_dir, resume=True)
+    return phase1, phase2
 
 
 def main():
