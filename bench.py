@@ -1,13 +1,19 @@
 """Benchmark: batched env throughput of the fused rollout on one chip.
 
 Prints one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "train_updates_per_s": N, "train_env_steps_per_s": N}
 
-Metric: environment half-steps per second (the reference's unit of stepping,
-one per player per tree level, reference environment/episode.py:194-212)
+Headline metric: environment half-steps per second (the reference's unit of
+stepping, one per player per tree level, reference episode.py:194-212)
 sustained by the jitted rollout — including actor-net inference and action
 sampling, i.e. the full actor phase, not just the env transition.
 Baseline target: 10M env-steps/s/chip (BASELINE.md).
+
+The extra ``train_*`` keys track the PRODUCT (the full fused R-NaD train
+step — rollout + 4-net inference + v-trace + losses + Adam + EMA — at 32k
+lanes in the production bfloat16 configuration), so a rollout-only
+optimization cannot mask a train-step regression.
 """
 
 import json
@@ -96,11 +102,43 @@ def main():
 
     half_steps = 2 * num_turns * batch * iters
     rate = half_steps / dt
+
+    # -- full train step at 32k lanes (the flagship training shape) --------
+    from rnad_tpu.config import RNaDConfig
+    from rnad_tpu.learn import rnad as rnad_lib
+
+    train_batch = 1 << 15
+    tcfg = RNaDConfig(batch_size=train_batch, eta=0.2, bounds=(10**9,),
+                      delta_m=(10**9,), lr=5e-4, gamma_averaging=0.001,
+                      logit_clip=2.0, fuse_net_passes="auto",
+                      frozen_net_dtype="bfloat16")
+    tnet = nets.build_net(NetConfig(type="MLP", max_actions=3, width=256,
+                                    compute_dtype="bfloat16"))
+    train_step, _, _, _ = rnad_lib.make_rnad_fns(tnet, tree, tcfg)
+    state = rnad_lib.init_train_state(tnet, jax.random.PRNGKey(2), 3, tcfg)
+    alpha = jnp.float32(0.5)
+    for _ in range(3):  # compile + warm
+        state, metrics = train_step(state, alpha)
+    jax.block_until_ready(metrics["loss"])
+    steps = 256
+    t0 = time.perf_counter()
+    # enqueue the whole run, block once: the device executes steps
+    # back-to-back while the ~30 ms tunnel round trip is paid once
+    for _ in range(steps):
+        state, metrics = train_step(state, alpha)
+    losses = np.asarray(metrics["loss"])
+    train_dt = time.perf_counter() - t0
+    assert np.isfinite(losses).all(), "non-finite train loss in bench"
+    updates_per_s = steps / train_dt
+
     print(json.dumps({
         "metric": "env_half_steps_per_s_per_chip",
         "value": round(rate, 1),
         "unit": "steps/s",
         "vs_baseline": round(rate / 1e7, 4),
+        "train_updates_per_s": round(updates_per_s, 1),
+        "train_env_steps_per_s": round(
+            updates_per_s * train_batch * 2 * num_turns, 1),
     }))
 
 
