@@ -35,6 +35,10 @@ def main():
     parser.add_argument("--batch", type=int, default=4096)
     parser.add_argument("--dtype", choices=["float32", "bfloat16"],
                         default="float32")
+    parser.add_argument("--fuse", choices=["off", "frozen", "all", "auto"],
+                        default="off",
+                        help="RNaDConfig.fuse_net_passes for the checked "
+                             "step (the fused-matmul net passes)")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (sanity mode)")
     args = parser.parse_args()
@@ -79,7 +83,8 @@ def main():
                                    compute_dtype=args.dtype))
     cfg = RNaDConfig(batch_size=args.batch, eta=0.2, bounds=(1,),
                      delta_m=(1,), lr=1e-3, gamma_averaging=0.01,
-                     logit_clip=2.0, frozen_net_dtype=args.dtype)
+                     logit_clip=2.0, frozen_net_dtype=args.dtype,
+                     fuse_net_passes=args.fuse)
     train_step, rollout_jit, learn_jit, _ = rnad_lib.make_rnad_fns(
         net, tree, cfg)
     state = rnad_lib.init_train_state(net, jax.random.PRNGKey(0), A, cfg)

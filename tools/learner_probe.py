@@ -1,0 +1,138 @@
+"""Learner-step throughput matrix: fuse_net_passes x dtype at one batch.
+
+Measures the full fused train step (rollout + 4-net inference + v-trace +
+losses + Adam + EMA) for every combination of the net-pass fusion mode
+(RNaDConfig.fuse_net_passes) and compute/frozen dtypes, at a fixed batch on
+the current backend.  The VERDICT r2 target: >= 1.5x the round-2 learner
+numbers at 32k lanes (199 f32 / 261 bf16 updates/s).
+
+    python tools/learner_probe.py [--batch 32768] [--iters 256] [--cpu]
+
+Each measurement runs all iterations inside one jitted scan-of-steps and
+SELF-CHECKS (finite losses, iteration 0 equal to the split-program
+reference) because XLA:TPU miscompiles some scan-of-step shapes
+(docs/PERF_ANALYSIS.md); failing configs fall back to chained per-step
+dispatch, marked in the output.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.realpath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=32768)
+    p.add_argument("--iters", type=int, default=256)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--width", type=int, default=256)
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rnad_tpu.config import (NetConfig, RNaDConfig, ShapingRule,
+                                 TreeConfig)
+    from rnad_tpu.env import tree as tree_lib
+    from rnad_tpu.learn import rnad as rnad_lib
+    from rnad_tpu.models import nets
+
+    tcfg = TreeConfig(
+        max_actions=3, max_transitions=2, transition_threshold=0.3,
+        depth_bound=4,
+        depth_bound_rule=ShapingRule(delta=-1, stochastic_delta=-2,
+                                     stochastic_prob=0.5))
+    tree = tree_lib.generate_tree(tcfg, seed=0)
+    A = tree.max_actions
+    B = args.batch
+    print(f"tree={tree.size} depth={tree.max_depth} batch={B} "
+          f"device={jax.devices()[0].device_kind}", flush=True)
+
+    # (label, net compute dtype, frozen dtype, fuse mode)
+    combos = [
+        ("f32/off", "float32", "float32", "off"),
+        ("f32/frozen", "float32", "float32", "frozen"),
+        ("f32/all", "float32", "float32", "all"),
+        ("f32+frozenbf16/off", "float32", "bfloat16", "off"),
+        ("f32+frozenbf16/frozen", "float32", "bfloat16", "frozen"),
+        ("bf16/off", "bfloat16", "bfloat16", "off"),
+        ("bf16/frozen", "bfloat16", "bfloat16", "frozen"),
+        ("bf16/all", "bfloat16", "bfloat16", "all"),
+    ]
+    results = {}
+    for label, net_dtype, frozen_dtype, fuse in combos:
+        cfg = RNaDConfig(batch_size=B, eta=0.2, bounds=(1,), delta_m=(1,),
+                         lr=1e-3, gamma_averaging=0.01, logit_clip=2.0,
+                         frozen_net_dtype=frozen_dtype,
+                         fuse_net_passes=fuse)
+        net = nets.build_net(NetConfig(type="MLP", max_actions=A,
+                                       width=args.width,
+                                       compute_dtype=net_dtype))
+        train_step, rollout_jit, learn_jit, _ = rnad_lib.make_rnad_fns(
+            net, tree, cfg)
+        state = rnad_lib.init_train_state(net, jax.random.PRNGKey(0), A, cfg)
+
+        s_ref, traj_ref = rollout_jit(state)
+        _, m_ref = learn_jit(s_ref, traj_ref, jnp.float32(0.5))
+        loss_ref = float(np.asarray(m_ref["loss"]))
+
+        @jax.jit
+        def train_many(tr, pk, s0, n=args.iters):
+            def body(s, _):
+                s2, m = train_step.inner(tr, pk, s, jnp.float32(0.5))
+                return s2, m["loss"]
+            _, losses = jax.lax.scan(body, s0, None, length=n)
+            return losses
+
+        tr, pk = train_step.tables
+        losses = np.asarray(train_many(tr, pk, state))  # compile + warm
+        scan_ok = (np.isfinite(losses).all()
+                   and np.isclose(losses[0], loss_ref, rtol=1e-5,
+                                  atol=1e-6))
+        if scan_ok:
+            t0 = time.perf_counter()
+            losses = np.asarray(train_many(tr, pk, state))
+            dt = (time.perf_counter() - t0) / args.iters
+            method = "scan"
+        else:
+            alpha = jnp.float32(0.5)
+            s, chain = state, []
+            for _ in range(2):
+                s, m = train_step(s, alpha)
+            np.asarray(m["loss"])
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                s, m = train_step(s, alpha)
+                chain.append(m["loss"])
+            np.asarray(chain[-1])
+            dt = (time.perf_counter() - t0) / args.iters
+            final = np.asarray(jax.device_get(chain), dtype=np.float64)
+            assert np.isfinite(final).all(), label
+            assert np.isclose(final[0], loss_ref, rtol=1e-5, atol=1e-6), label
+            method = "per-step"
+        results[label] = 1.0 / dt
+        print(json.dumps({"config": label, "updates_per_s": round(1.0 / dt, 1),
+                          "ms_per_step": round(dt * 1e3, 3),
+                          "method": method,
+                          "loss0": round(loss_ref, 6)}), flush=True)
+
+    base_f32 = results.get("f32/off")
+    base_bf16 = results.get("bf16/off")
+    for label, rate in results.items():
+        base = base_bf16 if label.startswith("bf16") else base_f32
+        if base:
+            print(f"# {label}: {rate:8.1f}/s  ({rate / base:.3f}x vs off)")
+
+
+if __name__ == "__main__":
+    main()
