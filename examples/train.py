@@ -62,7 +62,7 @@ def main():
     p.add_argument("--gamma-avg", type=float, default=None,
                    help="EMA rate of the target net (gamma_averaging)")
     p.add_argument("--fuse-net-passes", default=None,
-                   choices=["off", "frozen", "all", "auto"],
+                   choices=["off", "heads", "frozen", "all", "auto"],
                    help="fuse the step's identical-shape MLP forwards into "
                         "one matmul pair (RNaDConfig.fuse_net_passes)")
     p.add_argument("--frozen-dtype", default=None,

@@ -184,21 +184,24 @@ class RNaDConfig:
     # only the reward-transform/target precision changes, not the gradient
     # path.  float32 matches the reference bit-for-bit.
     frozen_net_dtype: str = "float32"
-    # Fuse the learner step's structurally-identical net forwards into one
-    # matmul pair via models/nets.py::mlp_multi_net_forward (depth-1 MLP
-    # only — the shape whose 4 separate passes re-read the (T*B, 18)
-    # observations four times):
-    #   "off"    — separate passes (any net family; reference-shaped).
-    #   "frozen" — EMA target + regularization pair as ONE fused pass (x is
-    #              read once instead of three times); the learner's
-    #              gradient path is untouched.
-    #   "all"    — all four nets in one pass; gradients flow through the
-    #              learner block only (the frozen params are
-    #              stop_gradient'ed), but the backward matmuls span the
-    #              full fused width.
-    #   "auto"   — "frozen" for depth-1 MLPs (the measured winner at 32k
-    #              lanes, docs/PERF_ANALYSIS.md), "off" otherwise.
-    fuse_net_passes: str = "off"
+    # Execution strategy of the learner step's frozen-net forwards (all
+    # measured at 32k lanes on v5e, docs/PERF_ANALYSIS.md):
+    #   "off"    — one vmapped 3-net batched pass (any net family;
+    #              reference-shaped re-inference).
+    #   "heads"  — MLP dead-head elimination: the EMA target contributes
+    #              only its VALUE head and the regularization pair only
+    #              their POLICY heads, so half the frozen head matmuls are
+    #              skipped.  Same outputs as "off" to ulp tolerance.  The
+    #              measured winner.
+    #   "frozen" — EMA target + regularization pair as ONE fused matmul
+    #              pair (models/nets.py::mlp_multi_net_forward; depth-1 MLP
+    #              only).  Measured 3-5% SLOWER than "off" — the step is
+    #              hidden-activation-traffic-bound, which the fusion does
+    #              not reduce; kept as a documented negative result.
+    #   "all"    — all four nets (learner included) in one fused pair;
+    #              measured ~3x slower (backward spans the fused width).
+    #   "auto"   — "heads" for MLPs, "off" otherwise.
+    fuse_net_passes: str = "auto"
     # False drops the diagnostic metrics (policy klds, logit stats,
     # trajectory length — reference rnad.py:427-454) from the compiled step,
     # keeping only the three loss scalars; the diagnostics cost real step

@@ -99,13 +99,23 @@ def _forward_trajectory(net, variables, observations, train: bool,
 
 
 def resolve_fuse_mode(net, cfg: RNaDConfig) -> str:
-    """Resolves ``cfg.fuse_net_passes`` against the net family (the fused
-    matmul packing exists only for the depth-1 MLP shape) and rejects
-    silently-diverging combinations up front."""
+    """Resolves ``cfg.fuse_net_passes`` against the net family (the MLP is
+    the only family with separable heads / a fused-matmul packing) and
+    rejects silently-diverging combinations up front."""
     mode = cfg.fuse_net_passes
-    is_flat_mlp = isinstance(net, nets.MLP) and net.depth == 1
+    is_mlp = isinstance(net, nets.MLP)
+    is_flat_mlp = is_mlp and net.depth == 1
     if mode == "auto":
-        return "frozen" if is_flat_mlp else "off"
+        # "heads" (dead-head elimination) is the measured winner on v5e
+        # (same math as "off" to ulp tolerance); the matmul fusions lose
+        # (see the learn_loss note).
+        return "heads" if is_mlp else "off"
+    if mode == "heads":
+        if not is_mlp:
+            raise ValueError(
+                f"fuse_net_passes='heads' requires an MLP (the only family "
+                f"with separable heads); got {type(net).__name__}")
+        return mode
     if mode in ("frozen", "all"):
         if not is_flat_mlp:
             raise ValueError(
@@ -157,13 +167,23 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
     # R-NaD transform (reference rnad.py:377-382).  All three share the
     # architecture and are gradient-free inputs to the v-trace targets, so
     # the learner's gradient path stays f32 even when they run in bfloat16
-    # (cfg.frozen_net_dtype).  Three execution strategies (fuse_net_passes):
-    # separate vmapped passes (any family), one fused matmul pair for the
-    # three frozen nets, or one fused pair for all FOUR nets including the
-    # learner (nets.mlp_multi_net_forward — the observations are read from
-    # HBM once instead of four times, the dominant learner-side traffic for
-    # the reference-shaped MLP, docs/PERF_ANALYSIS.md).
+    # (cfg.frozen_net_dtype).  Execution strategies (fuse_net_passes; all
+    # measured on v5e, docs/PERF_ANALYSIS.md):
+    #   off    — one vmapped 3-net batched pass (any family).
+    #   heads  — dead-head elimination for the separate-head MLP: the
+    #            target net contributes only its VALUE (its policy feeds
+    #            one optional diagnostic) and the reg pair only POLICY
+    #            log-probs, so half the frozen head matmuls are never
+    #            computed.  Same math as "off" to ulp tolerance (batched
+    #            vs separate dot accumulation).  The measured winner.
+    #   frozen — the 3 frozen nets as one fused matmul pair
+    #            (nets.mlp_multi_net_forward); measured 3-5% SLOWER than
+    #            off (the step is hidden-activation-traffic-bound, which
+    #            fusion does not reduce).
+    #   all    — all four nets in one pair; measured 3x slower (the
+    #            backward spans the full fused width).
     sg = jax.lax.stop_gradient
+    logits_t = None  # target policy logits; only a diagnostic consumer
     if fuse == "all":
         params4 = [learner_params, sg(target_vars["params"]),
                    sg(reg_vars["params"]), sg(reg_prev_vars["params"])]
@@ -171,8 +191,9 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
         logits = logits4[:, 0].reshape(T, B, A)
         v_raw = values4[:, 0].reshape(T, B)
         mutated = {}
-        logits3 = jnp.moveaxis(logits4[:, 1:], 1, 0)  # (3, T*B, A)
-        values3 = jnp.moveaxis(values4[:, 1:], 1, 0)  # (3, T*B)
+        logits_t = logits4[:, 1].reshape(T, B, A)
+        values_target = values4[:, 1]
+        logits_reg2 = jnp.moveaxis(logits4[:, 2:], 1, 0)  # (2, T*B, A)
     else:
         logits, v_raw, mutated = _forward_trajectory(net, learner_vars,
                                                      observations,
@@ -185,13 +206,28 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
                        reg_prev_vars["params"]]
             logits3, values3 = nets.mlp_multi_net_forward(
                 frozen_net, params3, obs_flat)
-            logits3 = jnp.moveaxis(logits3, 1, 0)  # (3, T*B, A)
-            values3 = jnp.moveaxis(values3, 1, 0)  # (3, T*B)
+            logits_t = logits3[:, 0].reshape(T, B, A)
+            values_target = values3[:, 0]
+            logits_reg2 = jnp.moveaxis(logits3[:, 1:], 1, 0)
+        elif fuse == "heads":
+            values_target = nets.mlp_head_eval(
+                frozen_net, target_vars["params"], obs_flat, "value")
+            reg2 = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                                reg_vars["params"], reg_prev_vars["params"])
+            logits_reg2 = jax.vmap(lambda p: nets.mlp_head_eval(
+                frozen_net, p, obs_flat, "policy"))(reg2)
+            if cfg.detailed_metrics:  # entropy_target diagnostic only
+                logits_t = nets.mlp_head_eval(
+                    frozen_net, target_vars["params"], obs_flat,
+                    "policy").reshape(T, B, A)
         else:
             frozen = jax.tree.map(lambda a, b, c: jnp.stack([a, b, c]),
                                   target_vars, reg_vars, reg_prev_vars)
             logits3, values3 = jax.vmap(
                 lambda v: nets.apply_eval(frozen_net, v, obs_flat))(frozen)
+            logits_t = logits3[0].reshape(T, B, A)
+            values_target = values3[0]
+            logits_reg2 = logits3[1:]
 
     v = v_raw[..., None]
     pi = common.masked_policy(logits, masks)
@@ -199,13 +235,14 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
     pi_processed = vtrace.process_policy(pi, masks, cfg.n_discrete,
                                          cfg.epsilon_threshold)
     pi_processed_sg = jax.lax.stop_gradient(pi_processed)
-    logits_t = logits3[0].reshape(T, B, A)
-    pi_target = common.masked_policy(logits_t, masks)
+    pi_target = (common.masked_policy(logits_t, masks)
+                 if logits_t is not None else None)
     v_target_net = jax.lax.stop_gradient(
-        values3[0].reshape(T, B)[..., None])
-    log_pi_reg = common.masked_log_policy(logits3[1].reshape(T, B, A), masks)
-    log_pi_reg_prev = common.masked_log_policy(logits3[2].reshape(T, B, A),
-                                               masks)
+        values_target.reshape(T, B)[..., None])
+    log_pi_reg = common.masked_log_policy(
+        logits_reg2[0].reshape(T, B, A), masks)
+    log_pi_reg_prev = common.masked_log_policy(
+        logits_reg2[1].reshape(T, B, A), masks)
 
     # alpha interpolates the two regularization nets' log-policies
     # (reference rnad.py:382); the whole v-trace block is gradient-free

@@ -452,6 +452,40 @@ def mlp_multi_net_forward(net, params_list, obs_flat: jax.Array):
     return out[..., :A], out[..., A]
 
 
+def mlp_head_eval(net, params: dict, obs_flat: jax.Array,
+                  head: str) -> jax.Array:
+    """One MLP head's inference-mode forward from raw params.
+
+    The two-head MLP's heads share NOTHING (separate fc0/hidden/fc1 per
+    head, see class MLP), so a consumer that needs only one head's output
+    can skip the other head's matmuls entirely.  The learner's frozen-net
+    passes are exactly that consumer: the EMA target contributes only its
+    VALUE (its policy feeds one optional diagnostic) and the regularization
+    pair contributes only POLICY log-probs (reference rnad.py:377-382) — so
+    half the reference's frozen re-inference work is dead
+    (learn/rnad.py::learn_loss, fuse_net_passes="heads").
+
+    Matches the corresponding slice of ``apply_eval`` to ulp tolerance
+    (same math; a vmapped multi-net batched dot accumulates in a different
+    order than a separate dot).  Returns f32
+    ``logits (N, A)`` for ``head="policy"`` or ``values (N,)`` for
+    ``head="value"``.
+    """
+    dtype = jnp.dtype(net.dtype)
+    x = obs_flat.reshape(obs_flat.shape[0], -1).astype(dtype)
+    h = x
+    layers = [f"{head}_fc0"]
+    layers += [f"{head}_hidden{i}" for i in range(1, net.depth)]
+    for name in layers:
+        p = params[name]
+        h = nn.relu(jnp.dot(h, p["kernel"].astype(dtype))
+                    + p["bias"].astype(dtype))
+    p = params[f"{head}_fc1"]
+    out = jnp.dot(h, p["kernel"].astype(dtype)) + p["bias"].astype(dtype)
+    out = out.astype(jnp.float32)
+    return out[:, 0] if head == "value" else out
+
+
 def build_net(config: NetConfig) -> nn.Module:
     dtype = jnp.dtype(config.compute_dtype)
     if config.type == "MLP":

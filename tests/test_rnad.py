@@ -306,7 +306,8 @@ def test_fuse_net_passes_same_update(small_tree):
     reduction-order tolerance (bit-identical on CPU's sequential dots)."""
     net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16))
     states, metric_sets = [], []
-    for mode in ("off", "frozen", "all"):
+    modes = ("off", "heads", "frozen", "all")
+    for mode in modes:
         cfg = small_cfg(batch_size=48, fuse_net_passes=mode)
         train_step, _, _, _ = rnad_lib.make_rnad_fns(net, small_tree, cfg)
         state = rnad_lib.init_train_state(net, jax.random.PRNGKey(3), 3, cfg)
@@ -319,22 +320,50 @@ def test_fuse_net_passes_same_update(small_tree):
             lambda a, b: np.allclose(np.asarray(a), np.asarray(b),
                                      rtol=2e-6, atol=1e-7),
             base.variables, other.variables)
-        assert jax.tree.all(close), ("off", "frozen", "all")[mode_i]
+        assert jax.tree.all(close), modes[mode_i]
     for m in metric_sets[1:]:
         np.testing.assert_allclose(float(m["loss"]),
                                    float(metric_sets[0]["loss"]), rtol=1e-5)
+
+
+def test_fuse_net_passes_heads_deep_mlp_and_light_metrics(small_tree):
+    """'heads' supports deep MLP heads and must match 'off' to ulp
+    tolerance with detailed metrics off (where the target policy head is
+    dead); batched-vs-separate dots accumulate in different orders, so
+    bitwise equality is not guaranteed."""
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16,
+                                   depth=2))
+    states = []
+    for mode in ("off", "heads"):
+        cfg = small_cfg(batch_size=48, fuse_net_passes=mode,
+                        detailed_metrics=False)
+        train_step, _, _, _ = rnad_lib.make_rnad_fns(net, small_tree, cfg)
+        state = rnad_lib.init_train_state(net, jax.random.PRNGKey(3), 3, cfg)
+        state, _ = train_step(state, jnp.float32(0.5))
+        states.append(state)
+    close = jax.tree.map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b),
+                                 rtol=2e-6, atol=1e-7),
+        states[0].variables, states[1].variables)
+    assert jax.tree.all(close)
 
 
 def test_fuse_net_passes_auto_and_rejections(small_tree):
     deep = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16,
                                     depth=2))
     flat = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16))
+    conv = nets.build_net(NetConfig(type="ConvNet", max_actions=3,
+                                    channels=4))
     assert rnad_lib.resolve_fuse_mode(flat, small_cfg(
-        fuse_net_passes="auto")) == "frozen"
+        fuse_net_passes="auto")) == "heads"
     assert rnad_lib.resolve_fuse_mode(deep, small_cfg(
+        fuse_net_passes="auto")) == "heads"
+    assert rnad_lib.resolve_fuse_mode(conv, small_cfg(
         fuse_net_passes="auto")) == "off"
     with pytest.raises(ValueError, match="depth-1 MLP"):
         rnad_lib.resolve_fuse_mode(deep, small_cfg(fuse_net_passes="frozen"))
+    with pytest.raises(ValueError, match="MLP"):
+        rnad_lib.resolve_fuse_mode(conv, small_cfg(fuse_net_passes="heads"))
     with pytest.raises(ValueError, match="frozen_net_dtype"):
         rnad_lib.resolve_fuse_mode(flat, small_cfg(
             fuse_net_passes="all", frozen_net_dtype="bfloat16"))

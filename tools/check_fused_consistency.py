@@ -35,7 +35,8 @@ def main():
     parser.add_argument("--batch", type=int, default=4096)
     parser.add_argument("--dtype", choices=["float32", "bfloat16"],
                         default="float32")
-    parser.add_argument("--fuse", choices=["off", "frozen", "all", "auto"],
+    parser.add_argument("--fuse",
+                        choices=["off", "heads", "frozen", "all", "auto"],
                         default="off",
                         help="RNaDConfig.fuse_net_passes for the checked "
                              "step (the fused-matmul net passes)")

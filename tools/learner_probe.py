@@ -31,6 +31,9 @@ def main():
     p.add_argument("--iters", type=int, default=256)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--width", type=int, default=256)
+    p.add_argument("--only", default=None,
+                   help="comma-separated substrings; run only matching "
+                        "configs (e.g. 'heads,off')")
     args = p.parse_args()
 
     import jax
@@ -61,20 +64,28 @@ def main():
     # (label, net compute dtype, frozen dtype, fuse mode)
     combos = [
         ("f32/off", "float32", "float32", "off"),
+        ("f32/heads", "float32", "float32", "heads"),
         ("f32/frozen", "float32", "float32", "frozen"),
         ("f32/all", "float32", "float32", "all"),
         ("f32+frozenbf16/off", "float32", "bfloat16", "off"),
-        ("f32+frozenbf16/frozen", "float32", "bfloat16", "frozen"),
+        ("f32+frozenbf16/heads", "float32", "bfloat16", "heads"),
         ("bf16/off", "bfloat16", "bfloat16", "off"),
+        ("bf16/heads", "bfloat16", "bfloat16", "heads"),
+        ("bf16/heads-light", "bfloat16", "bfloat16", "heads-light"),
         ("bf16/frozen", "bfloat16", "bfloat16", "frozen"),
         ("bf16/all", "bfloat16", "bfloat16", "all"),
     ]
+    if args.only:
+        pats = args.only.split(",")
+        combos = [c for c in combos if any(p in c[0] for p in pats)]
     results = {}
     for label, net_dtype, frozen_dtype, fuse in combos:
+        detailed = not fuse.endswith("-light")
+        fuse = fuse.removesuffix("-light")
         cfg = RNaDConfig(batch_size=B, eta=0.2, bounds=(1,), delta_m=(1,),
                          lr=1e-3, gamma_averaging=0.01, logit_clip=2.0,
                          frozen_net_dtype=frozen_dtype,
-                         fuse_net_passes=fuse)
+                         fuse_net_passes=fuse, detailed_metrics=detailed)
         net = nets.build_net(NetConfig(type="MLP", max_actions=A,
                                        width=args.width,
                                        compute_dtype=net_dtype))
