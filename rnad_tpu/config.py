@@ -213,6 +213,16 @@ class RNaDConfig:
     # learner (which needs only ~84 bytes of each): ~6x less learner-side
     # HBM traffic, bit-identical updates (env/engine.py::Trajectory.obs).
     store_rollout_obs: bool = True
+    # Seat-fused rows-actor inside the training rollout
+    # (engine.make_mlp_rows_actor): both seats' towers as one matmul pair
+    # straight off the gathered packed rows, skipping the per-turn obs
+    # slice/concat copies of the generic actor (+18% rollout-only at 131k
+    # lanes, docs/PERF_ANALYSIS.md).  Same math up to matmul reduction
+    # order, so episodes coincide except at measure-zero sampling ties.
+    #   "auto" — on exactly when the packing exists (depth-1 f32 MLP).
+    #   "on"   — require it (raises for other nets/dtypes).
+    #   "off"  — generic actor path (reference-shaped turn).
+    rollout_rows_actor: str = "auto"
 
     def to_json(self) -> dict:
         d = dataclasses.asdict(self)

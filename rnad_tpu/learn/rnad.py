@@ -136,6 +136,24 @@ def resolve_fuse_mode(net, cfg: RNaDConfig) -> str:
     return mode
 
 
+def resolve_rows_actor(net, packed, cfg: RNaDConfig):
+    """Resolves ``cfg.rollout_rows_actor`` to a prepared rows-actor (or
+    None for the generic turn).  "auto" enables the seat-fused packing
+    exactly where it exists — depth-1 f32 MLP (make_mlp_rows_actor's own
+    guards define that set); "on" surfaces those guards as hard errors."""
+    mode = cfg.rollout_rows_actor
+    if mode == "off":
+        return None
+    if mode == "on":
+        return engine.make_mlp_rows_actor(net, packed)
+    if mode != "auto":
+        raise ValueError(f"unknown rollout_rows_actor mode {mode!r}")
+    try:
+        return engine.make_mlp_rows_actor(net, packed)
+    except ValueError:
+        return None
+
+
 def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
                reg_prev_vars, packed, traj: engine.Trajectory,
                alpha: jax.Array, cfg: RNaDConfig,
@@ -336,6 +354,7 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
     tx = make_optimizer(cfg)
     packed_tables = stepping.make_packed_tables(tree)
     obs_store_dtype = obs_storage_dtype(net, cfg)
+    rows_actor = resolve_rows_actor(net, packed_tables, cfg)
 
     # tree/packed are threaded as explicit jit arguments (not closure
     # constants) so large game tables are runtime inputs, never baked into
@@ -349,7 +368,8 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
         traj = engine.rollout_from(tree, actor_fn, state.variables, k_roll,
                                    init, tree.max_depth, packed,
                                    store_obs=cfg.store_rollout_obs,
-                                   obs_dtype=obs_store_dtype)
+                                   obs_dtype=obs_store_dtype,
+                                   rows_actor=rows_actor)
         return state.replace(key=key), traj
 
     def learn_fn(packed, state: TrainState, traj: engine.Trajectory,

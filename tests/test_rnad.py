@@ -29,6 +29,45 @@ def test_train_step_metrics_finite(small_tree):
     assert int(state.total_steps) == 1
 
 
+def test_rows_actor_train_step_equivalent(small_tree):
+    """The training rollout's seat-fused rows-actor (rollout_rows_actor,
+    on by default for the depth-1 f32 MLP) must roll the same episodes and
+    produce the same update as the generic actor path — equal up to matmul
+    reduction order on the actor logits (ties in sampling are measure-zero;
+    on CPU's sequential dots the logits match closely enough that the
+    sampled episodes coincide)."""
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16))
+    states = []
+    for mode in ("off", "on"):
+        cfg = small_cfg(batch_size=48, rollout_rows_actor=mode)
+        train_step, rollout_jit, _, _ = rnad_lib.make_rnad_fns(
+            net, small_tree, cfg)
+        state = rnad_lib.init_train_state(net, jax.random.PRNGKey(7), 3, cfg)
+        _, traj = rollout_jit(state)
+        state, _ = train_step(state, jnp.float32(0.5))
+        states.append((state, traj))
+    np.testing.assert_array_equal(np.asarray(states[0][1].indices),
+                                  np.asarray(states[1][1].indices))
+    np.testing.assert_array_equal(np.asarray(states[0][1].actions),
+                                  np.asarray(states[1][1].actions))
+    close = jax.tree.map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b),
+                                 rtol=2e-6, atol=1e-7),
+        states[0][0].variables, states[1][0].variables)
+    assert jax.tree.all(close)
+
+    # "auto" resolves off for the shapes the packing cannot express
+    deep = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16,
+                                    depth=2))
+    from rnad_tpu.ops import stepping
+    packed = stepping.make_packed_tables(small_tree)
+    assert rnad_lib.resolve_rows_actor(deep, packed, small_cfg()) is None
+    assert rnad_lib.resolve_rows_actor(net, packed, small_cfg()) is not None
+    with pytest.raises(ValueError, match="depth=1"):
+        rnad_lib.resolve_rows_actor(deep, packed,
+                                    small_cfg(rollout_rows_actor="on"))
+
+
 def test_ema_and_rotation(small_tree):
     cfg = small_cfg(gamma_averaging=0.5)
     net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16))
