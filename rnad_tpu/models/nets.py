@@ -252,6 +252,48 @@ def _solver_features(x: jax.Array, iters: int
             jax.lax.stop_gradient(log_x), jax.lax.stop_gradient(v))
 
 
+class _ExchangeableDense(nn.Module):
+    """One row/column-exchangeable linear layer (Hartford et al. 2018),
+    computed in block form: conceptually the layer is
+    ``concat([h, rowmean, colmean, globalmean, rowmax, colmax]) @ W``,
+    but broadcasting the five pooled tensors back to (N, A, A, C) and
+    materializing the 6C-channel concat is the worst possible TPU shape —
+    at production batch it was the single biggest live buffer of the
+    learner step (a (3, T*B, A, A, 6C) remat output OOM'd the 16 GB chip
+    at B=32k) and 150/46 of the layer's matmul FLOPs are multiplications
+    by broadcast-duplicated rows.  Here the kernel is sliced into its six
+    (C_in, C) blocks and each pooled tensor is contracted UN-broadcast
+    (row/col pools at 1/A the rows, the global pool at 1/A^2), with the
+    outputs broadcast-added: same parameters, same math up to float
+    reassociation (per-block MXU accumulation instead of one 6C-long
+    dot), ~3.3x fewer tower FLOPs at A=5, and no 6C buffer ever exists.
+
+    The parameter tree ({kernel (6*C_in, C), bias (C,)} under the module
+    name) and the initializers match the nn.Dense(concat) formulation
+    byte for byte, so existing EquiNet checkpoints load unchanged."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jax.Array) -> jax.Array:
+        cin = h.shape[-1]
+        kernel = self.param("kernel", common.torch_linear_kernel_init,
+                            (6 * cin, self.features))
+        bias = self.param("bias", common.torch_bias_init(6 * cin),
+                          (self.features,))
+        k = kernel.astype(self.dtype)
+        h = h.astype(self.dtype)
+        blk = lambda i: k[i * cin:(i + 1) * cin]
+        out = jnp.dot(h, blk(0))
+        out = out + jnp.dot(h.mean(axis=2, keepdims=True), blk(1))
+        out = out + jnp.dot(h.mean(axis=1, keepdims=True), blk(2))
+        out = out + jnp.dot(h.mean(axis=(1, 2), keepdims=True), blk(3))
+        out = out + jnp.dot(h.max(axis=2, keepdims=True), blk(4))
+        out = out + jnp.dot(h.max(axis=1, keepdims=True), blk(5))
+        return out + bias.astype(self.dtype)
+
+
 class EquiNet(nn.Module):
     """Permutation-equivariant policy/value net (TPU-native extension; no
     reference counterpart — the reference's families are the MLP and the
@@ -307,21 +349,9 @@ class EquiNet(nn.Module):
         x = x.astype(self.dtype)
         x0 = x  # input skip to the heads (solver channels readable linearly)
 
-        def pools(h: jax.Array) -> jax.Array:
-            rm = jnp.broadcast_to(h.mean(axis=2, keepdims=True), h.shape)
-            cm = jnp.broadcast_to(h.mean(axis=1, keepdims=True), h.shape)
-            gm = jnp.broadcast_to(h.mean(axis=(1, 2), keepdims=True), h.shape)
-            rx = jnp.broadcast_to(h.max(axis=2, keepdims=True), h.shape)
-            cx = jnp.broadcast_to(h.max(axis=1, keepdims=True), h.shape)
-            return jnp.concatenate([h, rm, cm, gm, rx, cx], axis=-1)
-
         for i in range(self.depth):
-            p = pools(x)
-            fan_in = p.shape[-1]
-            x = nn.relu(nn.Dense(
-                self.channels, name=f"ex{i}", dtype=self.dtype,
-                kernel_init=common.torch_linear_kernel_init,
-                bias_init=common.torch_bias_init(fan_in))(p))
+            x = nn.relu(_ExchangeableDense(
+                self.channels, name=f"ex{i}", dtype=self.dtype)(x))
 
         # Primed heads start as the identity on the solver solution: the
         # head kernels are zero-initialized and the RM+ outputs enter
