@@ -37,15 +37,24 @@ def solve_zero_sum_rmplus(payoffs: jax.Array, legal_rows: jax.Array,
       illegal actions, summing to 1) and their bilinear value.
     """
     B, R, C = payoffs.shape
-    lr = legal_rows.astype(payoffs.dtype)
-    lc = legal_cols.astype(payoffs.dtype)
-    # Zero out illegal cells so they never contribute utility.
-    M = payoffs * lr[:, :, None] * lc[:, None, :]
+    # The whole loop runs BATCH-MINOR: carries (R, B)/(C, B) and payoffs
+    # (R, C, B).  In the natural (B, R) layout every carry pads its tiny
+    # trailing action dim to the 128-lane tile (~25x memory blowup at
+    # A=5), and the fori_loop round-trips four such carries through HBM
+    # every iteration — at 128 iterations over a learner-sized batch that
+    # padded traffic dominated the whole EquiNet train step.  Batch-minor,
+    # the minor dim is the large B and the action dims ride the sublane
+    # axis (R=5 -> 8), so each carry is ~1.6x its logical size instead.
+    lr = legal_rows.astype(payoffs.dtype).T            # (R, B)
+    lc = legal_cols.astype(payoffs.dtype).T            # (C, B)
+    M = (payoffs * legal_rows.astype(payoffs.dtype)[:, :, None]
+         * legal_cols.astype(payoffs.dtype)[:, None, :]
+         ).transpose(1, 2, 0)                          # (R, C, B)
 
     def normalize(q, legal):
         q = q * legal
-        s = q.sum(-1, keepdims=True)
-        uniform = legal / jnp.maximum(legal.sum(-1, keepdims=True), 1.0)
+        s = q.sum(0, keepdims=True)
+        uniform = legal / jnp.maximum(legal.sum(0, keepdims=True), 1.0)
         return jnp.where(s > 0, q / jnp.maximum(s, 1e-30), uniform)
 
     def body(i, carry):
@@ -55,25 +64,25 @@ def solve_zero_sum_rmplus(payoffs: jax.Array, legal_rows: jax.Array,
         # order of magnitude tighter than simultaneous updates at equal
         # iteration count (tests/test_solver_device.py).
         y = normalize(qc, lc)
-        u_r = jnp.einsum("brc,bc->br", M, y)  # row action utilities
-        v_r = ((normalize(qr, lr)) * u_r).sum(-1, keepdims=True)
+        u_r = (M * y[None, :, :]).sum(1)      # (R, B) row action utilities
+        v_r = (normalize(qr, lr) * u_r).sum(0, keepdims=True)
         qr = jnp.maximum(qr + (u_r - v_r) * lr, 0.0)
         x = normalize(qr, lr)
-        u_c = -jnp.einsum("br,brc->bc", x, M)  # col action utilities
-        v_c = (y * u_c).sum(-1, keepdims=True)
+        u_c = -(M * x[:, None, :]).sum(0)     # (C, B) col action utilities
+        v_c = (y * u_c).sum(0, keepdims=True)
         qc = jnp.maximum(qc + (u_c - v_c) * lc, 0.0)
         y = normalize(qc, lc)
         w = (i + 1).astype(M.dtype)  # linear averaging
         return qr, qc, xsum + w * x, ysum + w * y
 
-    init = (jnp.zeros((B, R), M.dtype), jnp.zeros((B, C), M.dtype),
-            jnp.zeros((B, R), M.dtype), jnp.zeros((B, C), M.dtype))
+    init = (jnp.zeros((R, B), M.dtype), jnp.zeros((C, B), M.dtype),
+            jnp.zeros((R, B), M.dtype), jnp.zeros((C, B), M.dtype))
     _, _, xsum, ysum = jax.lax.fori_loop(0, iters, body, init)
 
     x = normalize(xsum, lr)
     y = normalize(ysum, lc)
-    v = jnp.einsum("br,brc,bc->b", x, M, y)
-    return x, y, v
+    v = (x[:, None, :] * M * y[None, :, :]).sum((0, 1))
+    return x.T, y.T, v
 
 
 def joint_policy_rmplus(tree, iters: int = 2000,

@@ -82,16 +82,19 @@ def init_train_state(net, key: jax.Array, max_actions: int,
 
 
 def _forward_trajectory(net, variables, observations, train: bool,
-                        valid=None):
+                        valid=None, **apply_kw):
     """Whole-trajectory inference as one batched forward (no time loop —
     contrast reference nn/net.py:64-85).  ``valid`` (T, B) keeps the
     absorbing-state padding rows of fixed-length trajectories out of
-    BatchNorm batch statistics (see models/nets.py::MaskedBatchNorm)."""
+    BatchNorm batch statistics (see models/nets.py::MaskedBatchNorm).
+    ``apply_kw`` passes net-specific keywords through (e.g. the EquiNet's
+    precomputed ``solver_feats``)."""
     T, B = observations.shape[:2]
     obs = observations.reshape((T * B,) + observations.shape[2:])
     if train:
         mask = valid.reshape(T * B) if valid is not None else None
-        (logits, v), mutated = nets.apply_train(net, variables, obs, mask)
+        (logits, v), mutated = nets.apply_train(net, variables, obs, mask,
+                                                **apply_kw)
     else:
         logits, v = nets.apply_eval(net, variables, obs)
         mutated = {}
@@ -213,9 +216,17 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
         values_target = values4[:, 1]
         logits_reg2 = jnp.moveaxis(logits4[:, 2:], 1, 0)  # (2, T*B, A)
     else:
+        # The EquiNet's RM+ solver features are a stop-gradient function of
+        # the observations alone — shared by all four net passes below, so
+        # the solve runs ONCE per step instead of four times.
+        apply_kw = {}
+        if isinstance(net, nets.EquiNet) and net.solver_iters:
+            apply_kw["solver_feats"] = nets.equinet_solver_features(
+                net, obs_flat)
         logits, v_raw, mutated = _forward_trajectory(net, learner_vars,
                                                      observations,
-                                                     train=True, valid=valid)
+                                                     train=True, valid=valid,
+                                                     **apply_kw)
         frozen_net = net
         if cfg.frozen_net_dtype != "float32":
             frozen_net = net.clone(dtype=jnp.dtype(cfg.frozen_net_dtype))
@@ -242,7 +253,8 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
             frozen = jax.tree.map(lambda a, b, c: jnp.stack([a, b, c]),
                                   target_vars, reg_vars, reg_prev_vars)
             logits3, values3 = jax.vmap(
-                lambda v: nets.apply_eval(frozen_net, v, obs_flat))(frozen)
+                lambda v: nets.apply_eval(frozen_net, v, obs_flat,
+                                          **apply_kw))(frozen)
             logits_t = logits3[0].reshape(T, B, A)
             values_target = values3[0]
             logits_reg2 = logits3[1:]

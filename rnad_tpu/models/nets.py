@@ -332,7 +332,7 @@ class EquiNet(nn.Module):
 
     @nn.compact
     def __call__(self, obs: jax.Array, train: bool = False,
-                 mask: jax.Array | None = None
+                 mask: jax.Array | None = None, solver_feats=None
                  ) -> Tuple[jax.Array, jax.Array]:
         del train, mask  # no batch statistics to protect
         A = self.max_actions
@@ -342,7 +342,12 @@ class EquiNet(nn.Module):
         x = obs.reshape((-1, 2, A, A)).transpose(0, 2, 3, 1)
         prime_logits = prime_value = None
         if self.solver_iters:
-            feats, log_x, v_rm = _solver_features(x, self.solver_iters)
+            # The RM+ solve is a pure (gradient-free) function of the
+            # observation, so callers running several net passes on the
+            # SAME observations (the learner's 4-net step) precompute it
+            # once via ``equinet_solver_features`` and pass it in.
+            feats, log_x, v_rm = (solver_feats if solver_feats is not None
+                                  else _solver_features(x, self.solver_iters))
             x = jnp.concatenate([x, feats], axis=-1)
             if self.solver_prime:
                 prime_logits, prime_value = log_x, v_rm[:, None]
@@ -574,20 +579,22 @@ def has_batch_stats(variables: Dict) -> bool:
     return "batch_stats" in variables
 
 
-def apply_eval(net: nn.Module, variables: Dict, obs: jax.Array
-               ) -> Tuple[jax.Array, jax.Array]:
+def apply_eval(net: nn.Module, variables: Dict, obs: jax.Array,
+               **apply_kw) -> Tuple[jax.Array, jax.Array]:
     """Inference-mode forward: (logits, value), value squeezed to (...,).
 
     Head outputs are always f32 (mixed-precision nets compute internally in
-    bf16 but the policy/value math downstream stays in f32)."""
-    logits, value = net.apply(variables, obs, train=False)
+    bf16 but the policy/value math downstream stays in f32).  ``apply_kw``
+    passes net-specific keywords through (e.g. the EquiNet's precomputed
+    ``solver_feats``)."""
+    logits, value = net.apply(variables, obs, train=False, **apply_kw)
     return (logits.astype(jnp.float32),
             jnp.squeeze(value, axis=-1).astype(jnp.float32))
 
 
 def apply_train(net: nn.Module, variables: Dict, obs: jax.Array,
-                mask: jax.Array | None = None
-                ) -> Tuple[Tuple[jax.Array, jax.Array], Dict]:
+                mask: jax.Array | None = None,
+                **apply_kw) -> Tuple[Tuple[jax.Array, jax.Array], Dict]:
     """Training-mode forward; returns updated mutable collections (e.g.
     BatchNorm running stats), empty dict when the net has none.
 
@@ -595,6 +602,22 @@ def apply_train(net: nn.Module, variables: Dict, obs: jax.Array,
     padding rows from BatchNorm batch statistics; see MaskedBatchNorm."""
     mutable = ["batch_stats"] if has_batch_stats(variables) else []
     (logits, value), mutated = net.apply(variables, obs, train=True,
-                                         mask=mask, mutable=mutable)
+                                         mask=mask, mutable=mutable,
+                                         **apply_kw)
     return (logits.astype(jnp.float32),
             jnp.squeeze(value, axis=-1).astype(jnp.float32)), dict(mutated)
+
+
+def equinet_solver_features(net, obs_flat: jax.Array):
+    """Precomputed ``solver_feats`` for an EquiNet with solver_iters > 0.
+
+    The RM+ solve inside the EquiNet forward is a stop-gradient function of
+    the observation alone — identical across the learner step's FOUR net
+    passes (learner + EMA target + regularization pair, reference
+    rnad.py:373-382) over the same trajectory.  Computing it once and
+    passing it to each apply cuts the step's solver iterations 4x; at
+    solver_iters=128 the loop's carry traffic was a dominant step cost.
+    """
+    A = net.max_actions
+    x = obs_flat.reshape((-1, 2, A, A)).transpose(0, 2, 3, 1)
+    return _solver_features(x, net.solver_iters)

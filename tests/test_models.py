@@ -105,6 +105,25 @@ def test_equinet_primed_starts_at_solver():
     np.testing.assert_allclose(np.asarray(value), np.asarray(v), atol=1e-5)
 
 
+def test_equinet_shared_solver_features_bitwise():
+    """Precomputed solver_feats (nets.equinet_solver_features, shared by
+    the learner's four net passes) must reproduce the in-forward solve
+    bitwise — it is the SAME function on the same observations, just
+    hoisted out."""
+    A = 4
+    net = nets.build_net(NetConfig(type="EquiNet", max_actions=A,
+                                   channels=8, depth=2,
+                                   solver_iters=24, solver_prime=True))
+    variables = nets.init_variables(net, jax.random.PRNGKey(0), A)
+    obs = rand_obs(jax.random.PRNGKey(2), 13, A)
+    logits, value = nets.apply_eval(net, variables, obs)
+    feats = nets.equinet_solver_features(net, obs)
+    logits_s, value_s = nets.apply_eval(net, variables, obs,
+                                        solver_feats=feats)
+    np.testing.assert_array_equal(np.asarray(logits), np.asarray(logits_s))
+    np.testing.assert_array_equal(np.asarray(value), np.asarray(value_s))
+
+
 def test_crossconv_receptive_field():
     """A CrossConv output at (i, j) depends only on row i and column j of the
     input (the defining property, reference net.py:88-143)."""
