@@ -20,36 +20,16 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
-def solve_zero_sum_rmplus(payoffs: jax.Array, legal_rows: jax.Array,
-                          legal_cols: jax.Array, iters: int = 2000
-                          ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Batched RM+ for zero-sum matrix games.
+def rmplus_core(M: jax.Array, lr: jax.Array, lc: jax.Array, iters: int
+                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Batch-minor RM+ core: M (R, C, B) payoffs with illegal cells already
+    zeroed, lr (R, B) / lc (C, B) masks -> (x (R, B), y (C, B), v (B,)).
 
-    Args:
-      payoffs: (B, R, C) row-player payoffs.
-      legal_rows: (B, R) {0,1} mask of active rows.
-      legal_cols: (B, C) mask of active columns.
-      iters: RM+ iterations (epsilon ~ O(1/iters)).
-
-    Returns:
-      (x (B, R), y (B, C), v (B,)): linear-averaged strategies (zero on
-      illegal actions, summing to 1) and their bilinear value.
+    Pure jnp ops on batch-minor arrays, so the same function body runs as
+    the XLA path here AND as the Pallas kernel body
+    (ops/pallas_rmplus.py), which keeps the loop carries in VMEM across
+    all iterations instead of round-tripping HBM each one.
     """
-    B, R, C = payoffs.shape
-    # The whole loop runs BATCH-MINOR: carries (R, B)/(C, B) and payoffs
-    # (R, C, B).  In the natural (B, R) layout every carry pads its tiny
-    # trailing action dim to the 128-lane tile (~25x memory blowup at
-    # A=5), and the fori_loop round-trips four such carries through HBM
-    # every iteration — at 128 iterations over a learner-sized batch that
-    # padded traffic dominated the whole EquiNet train step.  Batch-minor,
-    # the minor dim is the large B and the action dims ride the sublane
-    # axis (R=5 -> 8), so each carry is ~1.6x its logical size instead.
-    lr = legal_rows.astype(payoffs.dtype).T            # (R, B)
-    lc = legal_cols.astype(payoffs.dtype).T            # (C, B)
-    M = (payoffs * legal_rows.astype(payoffs.dtype)[:, :, None]
-         * legal_cols.astype(payoffs.dtype)[:, None, :]
-         ).transpose(1, 2, 0)                          # (R, C, B)
 
     def normalize(q, legal):
         q = q * legal
@@ -75,6 +55,7 @@ def solve_zero_sum_rmplus(payoffs: jax.Array, legal_rows: jax.Array,
         w = (i + 1).astype(M.dtype)  # linear averaging
         return qr, qc, xsum + w * x, ysum + w * y
 
+    R, C, B = M.shape
     init = (jnp.zeros((R, B), M.dtype), jnp.zeros((C, B), M.dtype),
             jnp.zeros((R, B), M.dtype), jnp.zeros((C, B), M.dtype))
     _, _, xsum, ysum = jax.lax.fori_loop(0, iters, body, init)
@@ -82,6 +63,75 @@ def solve_zero_sum_rmplus(payoffs: jax.Array, legal_rows: jax.Array,
     x = normalize(xsum, lr)
     y = normalize(ysum, lc)
     v = (x[:, None, :] * M * y[None, :, :]).sum((0, 1))
+    return x, y, v
+
+
+# RM+ execution path: "xla" | "pallas" | "auto" (Pallas on TPU — measured
+# faster; XLA elsewhere).  See ops/pallas_rmplus.py.
+_RMPLUS_MODE = ["auto"]
+
+
+def set_rmplus_mode(mode: str) -> None:
+    if mode not in ("xla", "pallas", "auto"):
+        raise ValueError(mode)
+    _RMPLUS_MODE[0] = mode
+
+
+def solve_zero_sum_rmplus(payoffs: jax.Array, legal_rows: jax.Array,
+                          legal_cols: jax.Array, iters: int = 2000
+                          ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched RM+ for zero-sum matrix games.
+
+    Args:
+      payoffs: (B, R, C) row-player payoffs.
+      legal_rows: (B, R) {0,1} mask of active rows.
+      legal_cols: (B, C) mask of active columns.
+      iters: RM+ iterations (epsilon ~ O(1/iters)).
+
+    Returns:
+      (x (B, R), y (B, C), v (B,)): linear-averaged strategies (zero on
+      illegal actions, summing to 1) and their bilinear value.
+
+    The loop runs BATCH-MINOR: carries (R, B)/(C, B) and payoffs
+    (R, C, B).  In the natural (B, R) layout every carry pads its tiny
+    trailing action dim to the 128-lane tile (~25x memory blowup at A=5),
+    and the fori_loop round-trips four such carries through HBM every
+    iteration — at 128 iterations over a learner-sized batch that padded
+    traffic dominated the whole EquiNet train step.  Batch-minor, the
+    minor dim is the large B and the action dims ride the sublane axis.
+    On TPU the loop additionally runs as a Pallas kernel whose carries
+    never leave VMEM (ops/pallas_rmplus.py).
+    """
+    # Mode resolves at trace time (Python level), so it is a static part
+    # of any enclosing jitted program; switching the mode after a program
+    # is compiled does not retrace that program.
+    mode = _RMPLUS_MODE[0]
+    B, R, C = payoffs.shape
+    on_tpu = jax.default_backend() == "tpu"
+    if mode == "auto":
+        mode = ("pallas" if (on_tpu and max(R, C) <= 16 and B >= 8)
+                else "xla")
+    return _solve_jit(payoffs, legal_rows, legal_cols, iters=iters,
+                      mode=mode, interpret=not on_tpu)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "mode", "interpret"))
+def _solve_jit(payoffs, legal_rows, legal_cols, iters: int, mode: str,
+               interpret: bool):
+    lr = legal_rows.astype(payoffs.dtype).T            # (R, B)
+    lc = legal_cols.astype(payoffs.dtype).T            # (C, B)
+    # Zero out illegal cells so they never contribute utility.
+    M = (payoffs * legal_rows.astype(payoffs.dtype)[:, :, None]
+         * legal_cols.astype(payoffs.dtype)[:, None, :]
+         ).transpose(1, 2, 0)                          # (R, C, B)
+    if mode == "pallas":
+        from ..ops import pallas_rmplus
+
+        x, y, v = pallas_rmplus.rmplus(M, lr, lc, iters,
+                                       interpret=interpret)
+    else:
+        x, y, v = rmplus_core(M, lr, lc, iters)
     return x.T, y.T, v
 
 
