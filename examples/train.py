@@ -68,6 +68,11 @@ def main():
     p.add_argument("--frozen-dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="dtype of the 3 frozen-net learner forwards")
+    p.add_argument("--vtrace-mode", default=None,
+                   choices=["scan", "associative", "auto"],
+                   help="v-trace time recursion: sequential scan, "
+                        "parallel-in-time associative scan, or auto "
+                        "(associative past 2x the scan unroll cap)")
     p.add_argument("--net", choices=["MLP", "ConvNet", "EquiNet"],
                    default="MLP")
     p.add_argument("--width", type=int, default=256)
@@ -147,7 +152,8 @@ def main():
             bounds=tuple(args.bounds) if args.bounds else None,
             delta_m=tuple(args.delta_m) if args.delta_m else None,
             lr=args.lr, gamma_averaging=args.gamma_avg,
-            frozen_net_dtype=args.frozen_dtype).items() if v is not None}
+            frozen_net_dtype=args.frozen_dtype,
+            vtrace_mode=args.vtrace_mode).items() if v is not None}
         cfg = RNaDConfig(batch_size=args.batch_size, eta=args.eta,
                          **buffer_kw, **override_kw)
 
