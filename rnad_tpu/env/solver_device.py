@@ -109,7 +109,15 @@ def solve_zero_sum_rmplus(payoffs: jax.Array, legal_rows: jax.Array,
     B, R, C = payoffs.shape
     on_tpu = jax.default_backend() == "tpu"
     if mode == "auto":
-        mode = ("pallas" if (on_tpu and max(R, C) <= 16 and B >= 8)
+        # Measured crossover on v5e (tools/rmplus_probe.py, A=5, 128
+        # iters): the XLA loop is LATENCY-bound — flat ~26 ms at any
+        # batch (a ~0.2 ms/iteration floor from its sequential fused
+        # kernels + HBM carry round-trips) — while the Pallas kernel is
+        # work-bound (7.1 ms at 65k, 11.9 at 131k, 22.2 at 262k, 32.6 at
+        # 393k).  Pallas wins below ~300k lanes (2-4x at rollout sizes);
+        # above, the latency-bound XLA path is flat and cheaper.
+        mode = ("pallas" if (on_tpu and max(R, C) <= 16
+                             and 8 <= B <= 262_144)
                 else "xla")
     return _solve_jit(payoffs, legal_rows, legal_cols, iters=iters,
                       mode=mode, interpret=not on_tpu)

@@ -47,32 +47,34 @@ def main():
     print(f"B={B} A={A} iters={args.iters} reps={args.reps} "
           f"device={jax.devices()[0].device_kind}", flush=True)
 
-    def timed(label, fn, *fn_args):
+    def timed(label, fn, M0, *xs):
+        # One scan-of-solves program per timed call.  Two sandbox traps
+        # this is built around (both observed on v5e through the axon
+        # tunnel): (1) a loop-INVARIANT scan body gets hoisted and the
+        # measurement collapses to one solve, so the body input is chained
+        # through the carry (the perturbation scales by 1e-30 — far below
+        # f32 resolution, so results are bit-identical — but XLA cannot
+        # prove that); (2) the tunnel serves repeated executions of the
+        # same (program, args) pair from a result cache, so the timed call
+        # must use DIFFERENT arguments than the warmup call.
         @jax.jit
-        def scan_prog(*xs):
+        def scan_prog(M0, *xs):
             def body(c, _):
-                out = fn(*xs)
-                # keep the solve live; fold into a scalar carry
-                return c + out[0][0].sum() + out[2].sum(), None
+                out = fn(M0 * (1.0 + c * 1e-30), *xs)
+                return out[0][0].sum() + out[2].sum(), None
             c, _ = jax.lax.scan(body, jnp.float32(0.0), None,
                                 length=args.reps)
             return c
-        out = scan_prog(*fn_args)
-        out.block_until_ready()
+        out = scan_prog(M0, *xs)
+        jax.block_until_ready(out)
         t0 = time.time()
-        out = scan_prog(*fn_args)
-        out.block_until_ready()
+        out = scan_prog(M0 * 0.9999999, *xs)
+        jax.block_until_ready(out)
         dt = (time.time() - t0) / args.reps
         print(json.dumps({"variant": label, "ms_per_solve":
                           round(dt * 1e3, 3), "check": float(out)}),
               flush=True)
         return dt
-
-    # original (B, A)-major layout: tiny trailing dims, padded tiles
-    def major_layout(M, legal):
-        x, y, v = solver_device.rmplus_core(
-            M.transpose(1, 2, 0), legal.T, legal.T, args.iters)
-        return x.T, y.T, v
 
     t_xla = timed("xla_batch_minor",
                   lambda Mt, lt: solver_device.rmplus_core(
