@@ -284,17 +284,24 @@ def main():
                 s_out, losses = jax.lax.scan(body, s0, None, length=n)
                 return losses
 
-            losses = np.asarray(train_many(tree, packed, state))  # warm
-            scan_ok = (np.isfinite(losses).all()
-                       and np.isclose(losses[0], loss_ref,
-                                      rtol=1e-5, atol=1e-6))
+            # The warm call and the timed call use DIFFERENT states: the
+            # axon tunnel serves repeated executions of an identical
+            # (program, args) pair from a result cache, so timing a
+            # second call with the same args measures the cache, not the
+            # device (observed; see tools/rmplus_probe.py).  The warm
+            # state differs only by seed — same program.
+            state_warm = rnad_lib.init_train_state(
+                tnet, jax.random.PRNGKey(7), A, cfg)
+            losses_w = np.asarray(train_many(tree, packed, state_warm))
+            scan_ok = np.isfinite(losses_w).all()
             if scan_ok:
                 t0 = time.perf_counter()
                 losses = np.asarray(train_many(tree, packed, state))
                 dt = (time.perf_counter() - t0) / train_iters
-                assert np.isfinite(losses).all()
-                assert np.isclose(losses[0], loss_ref, rtol=1e-5,
-                                  atol=1e-6)
+                scan_ok = (np.isfinite(losses).all()
+                           and np.isclose(losses[0], loss_ref,
+                                          rtol=1e-5, atol=1e-6))
+            if scan_ok:
                 method = "scan"
             else:
                 print(json.dumps({"note": "scan-of-steps miscompiled "
@@ -319,8 +326,8 @@ def main():
                     return s, losses
 
                 n = max(8, train_iters)
-                _, warm = run_chain(state, 2)
-                np.asarray(warm[-1])
+                _, warm = run_chain(state_warm, 2)  # distinct args: see
+                np.asarray(warm[-1])                # the cache note above
                 t0 = time.perf_counter()
                 _, chain = run_chain(state, n)
                 np.asarray(chain[-1])  # sync + surface async errors
@@ -366,8 +373,14 @@ def main():
             tree, joint)))
     total = float(np.asarray(nconv_many(tree, joint)))  # compile + warm
     assert abs(total / nc_iters - ref) < 1e-4 * max(1.0, abs(ref))
+    # Timed call uses bitwise-different args than the warm call (the
+    # tunnel result-caches identical (program, args) executions — see the
+    # bench_train cache note); the policy renormalizes, so scaling is
+    # value-neutral up to rounding and nothing downstream asserts on it.
+    joint_t = joint * np.float32(1.0000001)
+    jax.block_until_ready(joint_t)
     t0 = time.perf_counter()
-    np.asarray(nconv_many(tree, joint))
+    np.asarray(nconv_many(tree, joint_t))
     dt = (time.perf_counter() - t0) / nc_iters
     emit("nashconv_eval", dt * 1e3, "ms", tree_size=tree.size)
 
