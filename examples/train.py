@@ -99,6 +99,10 @@ def main():
     p.add_argument("--coordinator", default=None)
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (JAX_PLATFORMS alone does "
+                        "not override the axon sitecustomize pre-import; "
+                        "same pattern as the tools' --cpu flags)")
     p.add_argument("--max-updates", type=int, default=10**6)
     p.add_argument("--checkpoint-mod", type=int, default=1000)
     p.add_argument("--expl-mod", type=int, default=1)
@@ -107,6 +111,10 @@ def main():
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from rnad_tpu.parallel import runtime
     runtime.initialize_distributed(args.coordinator, args.num_processes,

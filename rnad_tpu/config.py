@@ -223,6 +223,14 @@ class RNaDConfig:
     #   "on"   — require it (raises for other nets/dtypes).
     #   "off"  — generic actor path (reference-shaped turn).
     rollout_rows_actor: str = "auto"
+    # Run the clip+Adam+EMA tail of the learner step on ONE raveled vector
+    # instead of per-leaf pytree maps (learn/rnad.py::flat_optimizer_update).
+    # Elementwise bit-exact (same optax formulas, per-leaf global-norm
+    # order preserved; tests/test_rnad.py::test_flat_optimizer_bit_exact)
+    # and the checkpointed opt_state layout is unchanged.  Applies only
+    # when every param/variable leaf is float32 (raveling mixed dtypes
+    # would promote); non-f32 states fall back to the pytree path.
+    flat_optimizer: bool = False
 
     def to_json(self) -> dict:
         d = dataclasses.asdict(self)

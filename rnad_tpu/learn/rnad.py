@@ -61,6 +61,61 @@ def make_optimizer(cfg: RNaDConfig) -> optax.GradientTransformation:
     )
 
 
+def _all_f32(tree) -> bool:
+    return all(jnp.dtype(x.dtype) == jnp.float32
+               for x in jax.tree.leaves(tree))
+
+
+def flat_optimizer_update(cfg: RNaDConfig, grads, opt_state, params):
+    """``make_optimizer()``'s update re-expressed on ONE raveled vector.
+
+    The params pytree is ~8 small leaves (two towers x kernel/bias x two
+    heads), so the per-leaf optax update lowers to dozens of tiny HLO ops;
+    raveling first turns the whole clip+Adam+apply chain into a handful of
+    fused ops over a single (P,) buffer.  Elementwise bit-exact vs the
+    optax path (identical formulas, optax 0.2.6 clipping.py:
+    clip_by_global_norm / transform.py:scale_by_adam; verified in
+    tests/test_rnad.py::test_flat_optimizer_bit_exact): the global norm
+    keeps ``optax.global_norm``'s per-leaf reduction order, and every other
+    op is elementwise, so raveling cannot change any bit.  The checkpointed
+    ``opt_state`` pytree layout is unchanged (mu/nu are unraveled back).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    clip_state, (adam, scale_state) = opt_state
+    g_flat, unravel = ravel_pytree(grads)
+    mu_flat, _ = ravel_pytree(adam.mu)
+    nu_flat, _ = ravel_pytree(adam.nu)
+    p_flat, unravel_p = ravel_pytree(params)
+
+    g_norm = optax.global_norm(grads)  # per-leaf order, matches optax clip
+    g_flat = jax.lax.select(g_norm < cfg.grad_clip, g_flat,
+                            (g_flat / g_norm) * cfg.grad_clip)
+
+    b1, b2 = cfg.b1_adam, cfg.b2_adam
+    mu_flat = (1 - b1) * g_flat + b1 * mu_flat
+    nu_flat = (1 - b2) * (g_flat ** 2) + b2 * nu_flat
+    count_inc = optax.safe_increment(adam.count)
+    mu_hat = mu_flat / (1 - b1 ** count_inc).astype(mu_flat.dtype)
+    nu_hat = nu_flat / (1 - b2 ** count_inc).astype(nu_flat.dtype)
+    upd = (-cfg.lr) * (mu_hat / (jnp.sqrt(nu_hat) + cfg.epsilon_adam))
+    new_params = unravel_p(p_flat + upd.astype(p_flat.dtype))
+    new_opt_state = (clip_state,
+                     (adam._replace(count=count_inc, mu=unravel(mu_flat),
+                                    nu=unravel(nu_flat)), scale_state))
+    return new_params, new_opt_state
+
+
+def flat_ema_update(gamma: float, variables, variables_target):
+    """EMA over the full variables pytree as one fused vector op (the
+    per-leaf ``tree.map`` form, raveled; elementwise bit-exact)."""
+    from jax.flatten_util import ravel_pytree
+
+    v_flat, _ = ravel_pytree(variables)
+    t_flat, unravel = ravel_pytree(variables_target)
+    return unravel(gamma * v_flat + (1.0 - gamma) * t_flat)
+
+
 def init_train_state(net, key: jax.Array, max_actions: int,
                      cfg: RNaDConfig,
                      init_variables: Optional[Any] = None) -> TrainState:
@@ -395,9 +450,16 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
             state.variables_reg_, packed, traj, alpha, cfg)
         metrics["gradient_norm"] = optax.global_norm(grads)
 
-        updates, opt_state = tx.update(grads, state.opt_state,
-                                       state.variables["params"])
-        params = optax.apply_updates(state.variables["params"], updates)
+        use_flat = (cfg.flat_optimizer
+                    and _all_f32((grads, state.variables,
+                                  state.variables_target)))
+        if use_flat:
+            params, opt_state = flat_optimizer_update(
+                cfg, grads, state.opt_state, state.variables["params"])
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.variables["params"])
+            params = optax.apply_updates(state.variables["params"], updates)
         variables = dict(mutated, params=params)
         for k, v in state.variables.items():
             variables.setdefault(k, v)
@@ -405,8 +467,13 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
         # EMA target update over params and aux stats alike
         # (reference rnad.py:516-523 copies the full state_dict).
         g = cfg.gamma_averaging
-        variables_target = jax.tree.map(lambda p, t: g * p + (1.0 - g) * t,
-                                        variables, state.variables_target)
+        if use_flat:
+            variables_target = flat_ema_update(g, variables,
+                                               state.variables_target)
+        else:
+            variables_target = jax.tree.map(
+                lambda p, t: g * p + (1.0 - g) * t,
+                variables, state.variables_target)
         new_state = state.replace(
             variables=variables,
             variables_target=variables_target,

@@ -408,3 +408,41 @@ def test_fuse_net_passes_auto_and_rejections(small_tree):
             fuse_net_passes="all", frozen_net_dtype="bfloat16"))
     with pytest.raises(ValueError, match="unknown"):
         rnad_lib.resolve_fuse_mode(flat, small_cfg(fuse_net_passes="bogus"))
+
+
+def test_flat_optimizer_bit_exact(small_tree):
+    """flat_optimizer=True (one raveled clip+Adam+EMA vector chain) must be
+    BIT-identical to the per-leaf optax path over several steps — every op
+    is elementwise and the global-norm reduction keeps optax's per-leaf
+    order, so raveling cannot change any bit."""
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16))
+    states = []
+    for flat in (False, True):
+        cfg = small_cfg(batch_size=48, flat_optimizer=flat)
+        train_step, _, _, _ = rnad_lib.make_rnad_fns(net, small_tree, cfg)
+        state = rnad_lib.init_train_state(net, jax.random.PRNGKey(7), 3, cfg)
+        for _ in range(3):
+            state, _ = train_step(state, jnp.float32(0.5))
+        states.append(state)
+    a, b = states
+    for name, ta, tb in (("variables", a.variables, b.variables),
+                         ("target", a.variables_target, b.variables_target),
+                         ("opt_state", a.opt_state, b.opt_state)):
+        same = jax.tree.map(
+            lambda x, y: np.array_equal(np.asarray(x), np.asarray(y)),
+            ta, tb)
+        assert jax.tree.all(same), name
+
+
+def test_flat_optimizer_equinet_fallback(small_tree):
+    """A bf16-compute EquiNet keeps f32 params, so the flat path still
+    applies; the test just asserts the step runs and is finite with
+    flat_optimizer=True for a non-MLP family."""
+    net = nets.build_net(NetConfig(type="EquiNet", max_actions=3,
+                                   channels=8, depth=1, solver_iters=4))
+    cfg = small_cfg(batch_size=48, flat_optimizer=True)
+    train_step, _, _, _ = rnad_lib.make_rnad_fns(net, small_tree, cfg)
+    state = rnad_lib.init_train_state(net, jax.random.PRNGKey(2), 3, cfg)
+    state, metrics = train_step(state, jnp.float32(0.5))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
