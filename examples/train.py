@@ -68,6 +68,14 @@ def main():
     p.add_argument("--frozen-dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="dtype of the 3 frozen-net learner forwards")
+    p.add_argument("--learner-layout", default=None,
+                   choices=["bma", "amb", "auto"],
+                   help="v-trace/loss tensor layout: reference (T, B, A), "
+                        "batch-minor (T, A, B), or auto (minor on TPU; "
+                        "RNaDConfig.learner_layout)")
+    p.add_argument("--flat-optimizer", action="store_true", default=None,
+                   help="run clip+Adam+EMA on one raveled vector "
+                        "(RNaDConfig.flat_optimizer; bit-exact)")
     p.add_argument("--vtrace-mode", default=None,
                    choices=["scan", "associative", "auto"],
                    help="v-trace time recursion: sequential scan, "
@@ -161,6 +169,8 @@ def main():
             delta_m=tuple(args.delta_m) if args.delta_m else None,
             lr=args.lr, gamma_averaging=args.gamma_avg,
             frozen_net_dtype=args.frozen_dtype,
+            learner_layout=args.learner_layout,
+            flat_optimizer=args.flat_optimizer,
             vtrace_mode=args.vtrace_mode).items() if v is not None}
         cfg = RNaDConfig(batch_size=args.batch_size, eta=args.eta,
                          **buffer_kw, **override_kw)

@@ -223,6 +223,22 @@ class RNaDConfig:
     #   "on"   — require it (raises for other nets/dtypes).
     #   "off"  — generic actor path (reference-shaped turn).
     rollout_rows_actor: str = "auto"
+    # Layout of the learner's v-trace/loss block (learn/vtrace.py's
+    # batch-minor section).  Every (..., A)-trailing tensor that
+    # materializes between the net forwards and the losses (the v-trace
+    # scan xs/ys especially) has a trailing dim of A=3-5 — far below the
+    # 128-lane TPU tile — so the reference (T, B, A) layout pads each one
+    # ~128/A-fold in HBM.  "amb" runs the identical math as (T, A, B)
+    # (B minor, unpadded): bit-identical in isolation
+    # (tests/test_vtrace_minor.py); ulp tolerance inside the fused step,
+    # where XLA's fusion/FMA choices differ between the two program shapes
+    # (tests/test_rnad.py::test_learner_layout_bit_exact — the same
+    # tolerance class as fuse_net_passes="heads").
+    #   "bma"  — reference layout (matches the torch reference shapes).
+    #   "amb"  — batch-minor (sequential-scan v-trace only).
+    #   "auto" — "amb" on TPU backends, "bma" elsewhere; the associative
+    #            v-trace path always uses "bma" (vtrace_assoc.py).
+    learner_layout: str = "bma"
     # Run the clip+Adam+EMA tail of the learner step on ONE raveled vector
     # instead of per-leaf pytree maps (learn/rnad.py::flat_optimizer_update).
     # Elementwise bit-exact (same optax formulas, per-leaf global-norm

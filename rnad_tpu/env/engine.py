@@ -51,7 +51,14 @@ class Trajectory:
     state."""
 
     indices: jax.Array  # (T, B) int32 — state id at each half-step
-    policy: jax.Array  # (T, B, A) f32 — mover's behavior policy mu
+    # Mover's behavior policy mu.  Layout per ``policy_layout``:
+    #   "bma" — (T, B, A), the reference shape (default);
+    #   "amb" — (T, A, B), batch-minor: A (3-5) is far below the 128-lane
+    #           TPU tile, so as a scan output the (T, B, A) buffer pads
+    #           ~128/A-fold in HBM; B-minor stores it unpadded (the same
+    #           layout rule as ops/stepping.py).  Use ``policy_bma()`` /
+    #           ``policy_amb()`` rather than reading the field raw.
+    policy: jax.Array  # (T, B, A) | (T, A, B) f32, see policy_layout
     actions: jax.Array  # (T, B) int32 — sampled action ids
     rewards: jax.Array  # (T, B) f32 — row-player reward (zero-sum)
     values: jax.Array  # (T, B) f32 — actor value estimates (mover's POV)
@@ -75,6 +82,7 @@ class Trajectory:
     # (785k-node tree, T=12, A=5, B=131072 on v5e; first symptom -inf
     # NeuRD loss).  See tools/check_fused_consistency.py.
     obs: jax.Array | None = None  # (T, B, 2, A, A) mover's view per half-step
+    policy_layout: str = struct.field(pytree_node=False, default="bma")
 
     @property
     def num_half_steps(self) -> int:
@@ -85,6 +93,20 @@ class Trajectory:
         return self.indices.shape[1]
 
     @property
+    def num_actions(self) -> int:
+        return self.policy.shape[-1 if self.policy_layout == "bma" else -2]
+
+    def policy_bma(self) -> jax.Array:
+        """Behavior policy as (T, B, A) regardless of stored layout."""
+        return (self.policy if self.policy_layout == "bma"
+                else jnp.moveaxis(self.policy, -2, -1))
+
+    def policy_amb(self) -> jax.Array:
+        """Behavior policy as batch-minor (T, A, B)."""
+        return (self.policy if self.policy_layout == "amb"
+                else jnp.moveaxis(self.policy, -1, -2))
+
+    @property
     def turns(self) -> jax.Array:
         """(T, B) mover ids — derived from half-step parity (the engine
         alternates strictly, reference episode.py:96-104)."""
@@ -93,7 +115,7 @@ class Trajectory:
         return jnp.broadcast_to(t, (T, B))
 
     def actions_oh(self) -> jax.Array:
-        return jax.nn.one_hot(self.actions, self.policy.shape[-1],
+        return jax.nn.one_hot(self.actions, self.num_actions,
                               dtype=self.policy.dtype)
 
     def valid(self) -> jax.Array:
@@ -199,12 +221,14 @@ def rollout(tree: GameTree, actor_fn: ActorFn, variables, key: jax.Array,
             batch_size: int, num_turns: int | None = None,
             packed: stepping.PackedTables | None = None,
             store_obs: bool = False, obs_dtype=None,
-            lane_chunks: int = 1, rows_actor=None) -> Trajectory:
+            lane_chunks: int = 1, rows_actor=None,
+            policy_minor: bool = False) -> Trajectory:
     """Plays ``batch_size`` episodes to completion under the actor policy."""
     init = jnp.ones((batch_size,), jnp.int32)
     return rollout_from(tree, actor_fn, variables, key, init, num_turns,
                         packed, store_obs=store_obs, obs_dtype=obs_dtype,
-                        lane_chunks=lane_chunks, rows_actor=rows_actor)
+                        lane_chunks=lane_chunks, rows_actor=rows_actor,
+                        policy_minor=policy_minor)
 
 
 def rollout_from(tree: GameTree, actor_fn: ActorFn, variables,
@@ -212,7 +236,8 @@ def rollout_from(tree: GameTree, actor_fn: ActorFn, variables,
                  num_turns: int | None = None,
                  packed: stepping.PackedTables | None = None,
                  store_obs: bool = False, obs_dtype=None,
-                 lane_chunks: int = 1, rows_actor=None) -> Trajectory:
+                 lane_chunks: int = 1, rows_actor=None,
+                 policy_minor: bool = False) -> Trajectory:
     """Rollout starting from an explicit per-lane state vector.
 
     Passing the initial indices lets callers attach a sharding constraint to
@@ -258,14 +283,31 @@ def rollout_from(tree: GameTree, actor_fn: ActorFn, variables,
         sub = functools.partial(
             rollout_from, tree, actor_fn, variables,
             num_turns=num_turns, packed=packed, store_obs=store_obs,
-            obs_dtype=obs_dtype, rows_actor=rows_actor)
+            obs_dtype=obs_dtype, rows_actor=rows_actor,
+            policy_minor=policy_minor)
         records = jax.lax.map(
             lambda args: sub(args[0], args[1]),
             (jax.random.split(key, lane_chunks),
              init_indices.reshape(lane_chunks, B // lane_chunks)))
-        return jax.tree.map(
-            lambda x: jnp.moveaxis(x, 0, 1).reshape(
-                (x.shape[1], B) + x.shape[3:]), records)
+
+        def restitch(x, lane_axis):
+            # (k, ...) with the chunk's lanes at ``lane_axis`` of the
+            # trajectory -> the trajectory with the full lane axis, lanes
+            # ordered chunk-major (== k manual sub-rollouts concatenated).
+            x = jnp.moveaxis(x, 0, lane_axis)
+            return x.reshape(x.shape[:lane_axis]
+                             + (x.shape[lane_axis] * x.shape[lane_axis + 1],)
+                             + x.shape[lane_axis + 2:])
+
+        pol_axis = 2 if policy_minor else 1
+        return Trajectory(
+            indices=restitch(records.indices, 1),
+            policy=restitch(records.policy, pol_axis),
+            actions=restitch(records.actions, 1),
+            rewards=restitch(records.rewards, 1),
+            values=restitch(records.values, 1),
+            obs=(restitch(records.obs, 1) if store_obs else None),
+            policy_layout="amb" if policy_minor else "bma")
 
     rows_apply = rows_actor(variables) if rows_actor is not None else None
 
@@ -302,13 +344,18 @@ def rollout_from(tree: GameTree, actor_fn: ActorFn, variables,
             packed, rows, actions[:B], actions[B:], k_ch)
         record = Trajectory(
             indices=jnp.stack([indices, indices]),
-            policy=policy,
+            # "amb": the transpose fuses into the elementwise policy chain,
+            # so the record write is the unpadded (2, A, B) buffer instead
+            # of the ~128/A-padded (2, B, A) one (see Trajectory.policy).
+            policy=(jnp.moveaxis(policy, -1, -2) if policy_minor
+                    else policy),
             actions=actions.reshape(2, B).astype(jnp.int32),
             rewards=jnp.stack([jnp.zeros((B,), rewards.dtype), rewards]),
             values=value2,
             obs=((obs2 if obs_dtype is None else obs2.astype(obs_dtype))
                  .reshape((2, B) + obs2.shape[1:])
                  if store_obs else None),
+            policy_layout="amb" if policy_minor else "bma",
         )
         return new_indices, record
 

@@ -212,6 +212,28 @@ def resolve_rows_actor(net, packed, cfg: RNaDConfig):
         return None
 
 
+def resolve_learner_layout(cfg: RNaDConfig, use_assoc: bool) -> bool:
+    """True = run the v-trace/loss block in the batch-minor (T, A, B)
+    layout (learn/vtrace.py's batch-minor section; bit-identical values).
+
+    "auto" selects minor exactly where the tile padding it avoids is real:
+    on TPU backends.  The associative v-trace path keeps the reference
+    (T, B, A) layout (vtrace_assoc.py operates there), so assoc trumps."""
+    mode = cfg.learner_layout
+    if mode not in ("bma", "amb", "auto"):
+        raise ValueError(f"unknown learner_layout {mode!r}")
+    if use_assoc:
+        if mode == "amb":
+            raise ValueError(
+                "learner_layout='amb' applies to the sequential-scan "
+                "v-trace only; vtrace_mode selected the associative path "
+                "at this trajectory length — use learner_layout='auto'")
+        return False
+    if mode == "auto":
+        return jax.default_backend() in ("tpu", "axon")
+    return mode == "amb"
+
+
 def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
                reg_prev_vars, packed, traj: engine.Trajectory,
                alpha: jax.Array, cfg: RNaDConfig,
@@ -234,9 +256,8 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
     valid = traj.valid()
     player_id = traj.turns
     observations, masks = engine.trajectory_observations(packed, traj)
-    actions_oh = traj.actions_oh()
     T, B = traj.rewards.shape
-    A = traj.policy.shape[-1]
+    A = traj.num_actions
     obs_flat = observations.reshape((T * B,) + observations.shape[2:])
 
     # Frozen nets: EMA target for values, regularization pair for the
@@ -314,53 +335,108 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
             values_target = values3[0]
             logits_reg2 = logits3[1:]
 
-    v = v_raw[..., None]
-    pi = common.masked_policy(logits, masks)
-    log_pi = common.masked_log_policy(logits, masks)
-    pi_processed = vtrace.process_policy(pi, masks, cfg.n_discrete,
-                                         cfg.epsilon_threshold)
-    pi_processed_sg = jax.lax.stop_gradient(pi_processed)
-    pi_target = (common.masked_policy(logits_t, masks)
-                 if logits_t is not None else None)
-    v_target_net = jax.lax.stop_gradient(
-        values_target.reshape(T, B)[..., None])
-    log_pi_reg = common.masked_log_policy(
-        logits_reg2[0].reshape(T, B, A), masks)
-    log_pi_reg_prev = common.masked_log_policy(
-        logits_reg2[1].reshape(T, B, A), masks)
-
-    # alpha interpolates the two regularization nets' log-policies
-    # (reference rnad.py:382); the whole v-trace block is gradient-free
-    # (computed under no_grad in the reference).
-    log_policy_reg = jax.lax.stop_gradient(log_pi) - (
-        alpha * log_pi_reg + (1.0 - alpha) * log_pi_reg_prev)
-
     # Sequential scan for shallow trajectories (bit-matches the reference
     # recursion order); parallel-in-time associative scan past the unroll
     # cap, where the sequential dependency dominates (vtrace_assoc.py).
     use_assoc = (cfg.vtrace_mode == "associative"
                  or (cfg.vtrace_mode == "auto"
                      and valid.shape[0] > 2 * vtrace.SCAN_UNROLL_CAP))
-    vt_both = (vtrace_assoc.v_trace_both_assoc if use_assoc
-               else vtrace.v_trace_both)
-    v_t2, played2, pol_t2 = vt_both(
-        v_target_net, valid, player_id, traj.policy, pi_processed_sg,
-        log_policy_reg, actions_oh, traj.rewards,
-        eta=cfg.eta, lambda_=1.0, c=cfg.c_bar, rho=cfg.roh_bar,
-        gamma=cfg.vtrace_gamma)
-    v_target_list = [jax.lax.stop_gradient(v_t2[p]) for p in range(2)]
-    has_played_list = [jax.lax.stop_gradient(played2[p]) for p in range(2)]
-    policy_target_list = [jax.lax.stop_gradient(pol_t2[p]) for p in range(2)]
+    minor = resolve_learner_layout(cfg, use_assoc)
+    sg = jax.lax.stop_gradient
+    if minor:
+        # Batch-minor layout: every (..., A)-trailing tensor that
+        # materializes between here and the losses — the v-trace scan
+        # xs/ys above all — runs as (T, A, B) instead of (T, B, A), so
+        # nothing is padded to the 128-lane tile (learn/vtrace.py's
+        # batch-minor section; bit-identical values, tested).
+        amb = lambda x: jnp.moveaxis(x, -1, -2)
+        masks_m = amb(masks)
+        logits_m = amb(logits)
+        v = v_raw  # (T, B)
+        pi = common.masked_policy_minor(logits_m, masks_m)
+        log_pi = common.masked_log_policy_minor(logits_m, masks_m)
+        pi_processed = vtrace.process_policy_minor(
+            pi, masks_m, cfg.n_discrete, cfg.epsilon_threshold)
+        pi_processed_sg = sg(pi_processed)
+        pi_target = (common.masked_policy_minor(amb(logits_t), masks_m)
+                     if logits_t is not None else None)
+        v_target_net = sg(values_target.reshape(T, B))
+        log_pi_reg = common.masked_log_policy_minor(
+            amb(logits_reg2[0].reshape(T, B, A)), masks_m)
+        log_pi_reg_prev = common.masked_log_policy_minor(
+            amb(logits_reg2[1].reshape(T, B, A)), masks_m)
+        log_policy_reg = sg(log_pi) - (
+            alpha * log_pi_reg + (1.0 - alpha) * log_pi_reg_prev)
+        acting_policy = traj.policy_amb()
+        actions_oh = (jnp.arange(A, dtype=traj.actions.dtype)[None, :, None]
+                      == traj.actions[:, None, :]).astype(pi.dtype)
+        v_t2, played2, pol_t2 = vtrace.v_trace_both_minor(
+            v_target_net, valid, player_id, acting_policy, pi_processed_sg,
+            log_policy_reg, actions_oh, traj.rewards,
+            eta=cfg.eta, lambda_=1.0, c=cfg.c_bar, rho=cfg.roh_bar,
+            gamma=cfg.vtrace_gamma)
+        v_target_list = [sg(v_t2[p]) for p in range(2)]
+        has_played_list = [sg(played2[p]) for p in range(2)]
+        policy_target_list = [sg(pol_t2[p]) for p in range(2)]
 
-    loss_v = vtrace.get_loss_v([v, v], v_target_list, has_played_list,
-                               global_sum=gsum)
+        loss_v = vtrace.get_loss_v_minor([v, v], v_target_list,
+                                         has_played_list, global_sum=gsum)
+        is_vector = jnp.ones_like(valid)
+        loss_nerd = vtrace.get_loss_nerd_minor(
+            [logits_m, logits_m], [pi_processed_sg, pi_processed_sg],
+            policy_target_list, valid, player_id, masks_m,
+            [is_vector, is_vector], clip=cfg.neurd_clip,
+            threshold=cfg.logit_clip, global_sum=gsum)
+        masks_metrics = masks_m
+        action_axis = -2
+    else:
+        v = v_raw[..., None]
+        pi = common.masked_policy(logits, masks)
+        log_pi = common.masked_log_policy(logits, masks)
+        pi_processed = vtrace.process_policy(pi, masks, cfg.n_discrete,
+                                             cfg.epsilon_threshold)
+        pi_processed_sg = jax.lax.stop_gradient(pi_processed)
+        pi_target = (common.masked_policy(logits_t, masks)
+                     if logits_t is not None else None)
+        v_target_net = jax.lax.stop_gradient(
+            values_target.reshape(T, B)[..., None])
+        log_pi_reg = common.masked_log_policy(
+            logits_reg2[0].reshape(T, B, A), masks)
+        log_pi_reg_prev = common.masked_log_policy(
+            logits_reg2[1].reshape(T, B, A), masks)
 
-    is_vector = jnp.ones_like(valid)[..., None]
-    loss_nerd = vtrace.get_loss_nerd(
-        [logits, logits], [pi_processed_sg, pi_processed_sg],
-        policy_target_list, valid, player_id, masks,
-        [is_vector, is_vector], clip=cfg.neurd_clip,
-        threshold=cfg.logit_clip, global_sum=gsum)
+        # alpha interpolates the two regularization nets' log-policies
+        # (reference rnad.py:382); the whole v-trace block is gradient-free
+        # (computed under no_grad in the reference).
+        log_policy_reg = jax.lax.stop_gradient(log_pi) - (
+            alpha * log_pi_reg + (1.0 - alpha) * log_pi_reg_prev)
+
+        acting_policy = traj.policy_bma()
+        actions_oh = traj.actions_oh()
+        vt_both = (vtrace_assoc.v_trace_both_assoc if use_assoc
+                   else vtrace.v_trace_both)
+        v_t2, played2, pol_t2 = vt_both(
+            v_target_net, valid, player_id, acting_policy, pi_processed_sg,
+            log_policy_reg, actions_oh, traj.rewards,
+            eta=cfg.eta, lambda_=1.0, c=cfg.c_bar, rho=cfg.roh_bar,
+            gamma=cfg.vtrace_gamma)
+        v_target_list = [jax.lax.stop_gradient(v_t2[p]) for p in range(2)]
+        has_played_list = [jax.lax.stop_gradient(played2[p])
+                           for p in range(2)]
+        policy_target_list = [jax.lax.stop_gradient(pol_t2[p])
+                              for p in range(2)]
+
+        loss_v = vtrace.get_loss_v([v, v], v_target_list, has_played_list,
+                                   global_sum=gsum)
+
+        is_vector = jnp.ones_like(valid)[..., None]
+        loss_nerd = vtrace.get_loss_nerd(
+            [logits, logits], [pi_processed_sg, pi_processed_sg],
+            policy_target_list, valid, player_id, masks,
+            [is_vector, is_vector], clip=cfg.neurd_clip,
+            threshold=cfg.logit_clip, global_sum=gsum)
+        masks_metrics = masks
+        action_axis = -1
 
     loss = cfg.value_loss_weight * loss_v + cfg.neurd_loss_weight * loss_nerd
 
@@ -374,7 +450,8 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
 
     # Diagnostics (reference rnad.py:427-454).  Under an axis_name, counts
     # and extrema reduce globally so every metric equals its unsharded value.
-    uniform_policy = masks / jnp.maximum(masks.sum(-1, keepdims=True), 1e-30)
+    uniform_policy = masks_metrics / jnp.maximum(
+        masks_metrics.sum(action_axis, keepdims=True), 1e-30)
     if gsum is None:
         logit_mean = logits.mean()
         traj_len = valid.sum(0).mean()
@@ -391,11 +468,13 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
         "traj_len": traj_len,
         "logit_mean": logit_mean,
         "logit_max": logit_max,
-        "entropy": nashconv_lib.kld(pi, uniform_policy, valid, masks, gsum),
+        "entropy": nashconv_lib.kld(pi, uniform_policy, valid,
+                                    masks_metrics, gsum, action_axis),
         "entropy_target": nashconv_lib.kld(pi_target, uniform_policy, valid,
-                                           masks, gsum),
-        "actor_learner_kld": nashconv_lib.kld(pi, traj.policy, valid, masks,
-                                              gsum),
+                                           masks_metrics, gsum, action_axis),
+        "actor_learner_kld": nashconv_lib.kld(pi, acting_policy, valid,
+                                              masks_metrics, gsum,
+                                              action_axis),
     })
     return loss, (mutated, metrics)
 
@@ -422,6 +501,16 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
     packed_tables = stepping.make_packed_tables(tree)
     obs_store_dtype = obs_storage_dtype(net, cfg)
     rows_actor = resolve_rows_actor(net, packed_tables, cfg)
+    # The rollout's policy-record layout follows the learner layout (the
+    # record is the learner's acting_policy input), but only on the
+    # on-policy path: the replay buffer collates along lane axis 1 on
+    # every field (learn/buffer.py), so buffered rollouts stay "bma".
+    use_assoc = (cfg.vtrace_mode == "associative"
+                 or (cfg.vtrace_mode == "auto"
+                     and 2 * tree.max_depth > 2 * vtrace.SCAN_UNROLL_CAP))
+    on_policy = cfg.n_batches_per_buffer == 1 and cfg.buffer_mod == 1
+    policy_minor_record = (resolve_learner_layout(cfg, use_assoc)
+                           and on_policy)
 
     # tree/packed are threaded as explicit jit arguments (not closure
     # constants) so large game tables are runtime inputs, never baked into
@@ -436,7 +525,8 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
                                    init, tree.max_depth, packed,
                                    store_obs=cfg.store_rollout_obs,
                                    obs_dtype=obs_store_dtype,
-                                   rows_actor=rows_actor)
+                                   rows_actor=rows_actor,
+                                   policy_minor=policy_minor_record)
         return state.replace(key=key), traj
 
     def learn_fn(packed, state: TrainState, traj: engine.Trajectory,

@@ -371,3 +371,243 @@ def get_loss_nerd(logit_list: Sequence[jax.Array],
         total = total - renormalize(nerd, valid * (player_ids == k),
                                     global_sum)
     return total
+
+
+# ---------------------------------------------------------------------------
+# Batch-minor ("amb") layout variants.
+#
+# Every array above whose trailing dim is the action count A lives in
+# (T, B, A) form — and A (3-5) is far below the 128-lane TPU tile, so each
+# one that materializes at a fusion boundary (the scan xs/ys especially:
+# actions_oh, eta_log_policy, learning_output) is padded ~A/128-fold in HBM
+# (the repo-wide layout rule, ops/stepping.py module docstring; the same
+# buffer class XLA:TPU was observed to MISREAD inside very large fused
+# programs, docs/PERF_ANALYSIS.md).  The *_minor functions below compute
+# the identical math with those arrays in (T, A, B) form — B minor, tile-
+# friendly — and (T, B, 1) value columns flattened to (T, B).  Same
+# elementwise ops, same per-A reduction order, so results are bit-identical
+# to the reference-parity path (tests/test_vtrace_minor.py).
+# ---------------------------------------------------------------------------
+
+
+def _select_suffix(pred: jax.Array, on_true, on_false):
+    """Pytree jnp.where with ``pred`` broadcast as a shape SUFFIX (the
+    batch axis is minor in this layout)."""
+
+    def one(t, f):
+        p = pred.reshape((1,) * (t.ndim - pred.ndim) + pred.shape)
+        return jnp.where(p, t, f)
+
+    return jax.tree.map(one, on_true, on_false)
+
+
+def policy_ratio_minor(pi: jax.Array, mu: jax.Array, actions_oh: jax.Array,
+                       valid: jax.Array) -> jax.Array:
+    """``policy_ratio`` for (T, A, B) policies; returns (T, B)."""
+    prob = lambda p: (actions_oh * p).sum(-2) * valid + (1 - valid)
+    return prob(pi) / jnp.maximum(prob(mu), 1e-30)
+
+
+def v_trace_minor(
+    v: jax.Array,  # (T, B) critic values
+    valid: jax.Array,  # (T, B)
+    player_id: jax.Array,  # (T, B)
+    acting_policy: jax.Array,  # (T, A, B)
+    merged_policy: jax.Array,  # (T, A, B)
+    merged_log_policy: jax.Array,  # (T, A, B)
+    p_others: jax.Array,  # (T, B): player_others without the trailing 1
+    actions_oh: jax.Array,  # (T, A, B)
+    reward: jax.Array,  # (T, B)
+    player: int,
+    *,
+    eta: float,
+    lambda_: float = 1.0,
+    c: float = 1.0,
+    rho: float = 1.0,
+    gamma: float = 1.0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """``v_trace`` in the batch-minor layout.
+
+    Returns (v_target (T, B), has_played (T, B), learning_output
+    (T, A, B)) — identical values to ``v_trace`` up to layout."""
+    played = has_played(valid, player_id, player)
+
+    ratio = policy_ratio_minor(merged_policy, acting_policy, actions_oh,
+                               valid)
+    inv_mu = policy_ratio_minor(jnp.ones_like(merged_policy), acting_policy,
+                                actions_oh, valid)
+    _IS_CAP = 1e15  # same overflow guard as v_trace
+    inv_mu = jnp.minimum(inv_mu, _IS_CAP)
+    ratio = jnp.minimum(ratio, _IS_CAP)
+
+    eta_reg_entropy = (-eta
+                       * (merged_policy * merged_log_policy).sum(-2)
+                       * p_others)
+    eta_log_policy = -eta * merged_log_policy * p_others[:, None, :]
+
+    init = VTraceCarry(
+        reward=jnp.zeros_like(reward[-1]),
+        reward_uncorrected=jnp.zeros_like(reward[-1]),
+        next_value=jnp.zeros_like(v[-1]),
+        next_v_target=jnp.zeros_like(v[-1]),
+        importance_sampling=jnp.ones_like(ratio[-1]),
+    )
+
+    def loop(carry: VTraceCarry, x):
+        (cs, mine_t, v_t, r_t, ent_t, valid_t, inv_mu_t, aoh_t, elp_t) = x
+
+        reward_uncorrected = r_t + gamma * carry.reward_uncorrected + ent_t
+        discounted_reward = r_t + gamma * carry.reward
+
+        our_v_target = (
+            v_t
+            + jnp.minimum(cs * carry.importance_sampling, rho)
+            * (reward_uncorrected + gamma * carry.next_value - v_t)
+            + lambda_
+            * jnp.minimum(cs * carry.importance_sampling, c)
+            * gamma * (carry.next_v_target - carry.next_value))
+
+        our_learning_output = (
+            v_t[None, :] + elp_t
+            + aoh_t * inv_mu_t[None, :]
+            * (discounted_reward[None, :]
+               + (gamma * carry.importance_sampling
+                  * carry.next_v_target)[None, :]
+               - v_t[None, :]))
+
+        our_carry = VTraceCarry(
+            reward=jnp.zeros_like(carry.reward),
+            reward_uncorrected=jnp.zeros_like(carry.reward_uncorrected),
+            next_value=v_t,
+            next_v_target=our_v_target,
+            importance_sampling=jnp.ones_like(carry.importance_sampling))
+        opp_carry = VTraceCarry(
+            reward=jnp.clip(ent_t + cs * discounted_reward,
+                            -_IS_CAP, _IS_CAP),
+            reward_uncorrected=reward_uncorrected,
+            next_value=gamma * carry.next_value,
+            next_v_target=gamma * carry.next_v_target,
+            importance_sampling=jnp.minimum(
+                cs * carry.importance_sampling, _IS_CAP))
+
+        zero_out = (jnp.zeros_like(our_v_target),
+                    jnp.zeros_like(our_learning_output))
+        carry_out, y = _select_suffix(
+            valid_t,
+            _select_suffix(mine_t,
+                           (our_carry, (our_v_target, our_learning_output)),
+                           (opp_carry, zero_out)),
+            (init, zero_out))
+        return carry_out, y
+
+    xs = (ratio, player_id == player, v, reward, eta_reg_entropy, valid,
+          inv_mu, actions_oh, eta_log_policy)
+    _, (v_target, learning_output) = jax.lax.scan(
+        loop, init, xs, reverse=True, unroll=_unroll(valid.shape[0]))
+    return v_target, played, learning_output
+
+
+def v_trace_both_minor(
+    v: jax.Array,  # (T, B)
+    valid: jax.Array,  # (T, B)
+    player_id: jax.Array,  # (T, B)
+    acting_policy: jax.Array,  # (T, A, B)
+    merged_policy: jax.Array,  # (T, A, B)
+    merged_log_policy: jax.Array,  # (T, A, B)
+    actions_oh: jax.Array,  # (T, A, B)
+    reward: jax.Array,  # (T, B) row-player perspective
+    *,
+    eta: float,
+    lambda_: float = 1.0,
+    c: float = 1.0,
+    rho: float = 1.0,
+    gamma: float = 1.0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """``v_trace_both`` in the batch-minor layout (one vmapped scan)."""
+    players = jnp.arange(2, dtype=player_id.dtype)
+    rewards2 = jnp.stack([reward, -reward])
+    po = lambda p: ((2 * (player_id == p) - 1) * valid).astype(jnp.float32)
+    p_others2 = jnp.stack([po(0), po(1)])
+
+    def one(p_others_p, reward_p, player_p):
+        return v_trace_minor(v, valid, player_id, acting_policy,
+                             merged_policy, merged_log_policy, p_others_p,
+                             actions_oh, reward_p, player_p, eta=eta,
+                             lambda_=lambda_, c=c, rho=rho, gamma=gamma)
+
+    return jax.vmap(one)(p_others2, rewards2, players)
+
+
+def process_policy_minor(policy: jax.Array, mask: jax.Array, n_disc: int,
+                         epsilon_threshold: float = 0.03) -> jax.Array:
+    """``process_policy`` for (..., A, B) policies (action axis -2)."""
+    keep = mask * ((policy >= epsilon_threshold)
+                   + (policy.max(-2, keepdims=True) < epsilon_threshold))
+    keep = jnp.minimum(keep, 1.0)
+    p = keep * policy
+    p = p / jnp.maximum(p.sum(-2, keepdims=True), 1e-30)
+
+    blocks = jnp.ceil(n_disc * p).astype(jnp.float32)
+    n_actions = p.shape[-2]
+    if n_actions > 16:
+        raise NotImplementedError(
+            "process_policy_minor covers the branchless pairwise form only "
+            "(A <= 16); use the (T, B, A) path for wider action spaces")
+    ps = [p[..., i, :] for i in range(n_actions)]
+    bs = [blocks[..., i, :] for i in range(n_actions)]
+    granted = []
+    for i in range(n_actions):
+        excl = jnp.zeros_like(ps[i])
+        for j in range(n_actions):
+            if j == i:
+                continue
+            before = (ps[j] > ps[i]) if j > i else (ps[j] >= ps[i])
+            excl = excl + bs[j] * before
+        granted.append(jnp.clip(n_disc - excl, 0.0, bs[i]))
+    return jnp.stack(granted, axis=-2) / n_disc
+
+
+def get_loss_v_minor(v_list: Sequence[jax.Array],
+                     v_target_list: Sequence[jax.Array],
+                     mask_list: Sequence[jax.Array],
+                     global_sum=None) -> jax.Array:
+    """``get_loss_v`` with (T, B) values (no trailing singleton)."""
+    total = 0.0
+    for v_n, v_target, mask in zip(v_list, v_target_list, mask_list):
+        err = mask * (v_n - jax.lax.stop_gradient(v_target)) ** 2
+        err, n = err.sum(), mask.sum()
+        if global_sum is not None:
+            err, n = global_sum(err), global_sum(n)
+        total = total + err / (n + (n == 0.0))
+    return total
+
+
+def get_loss_nerd_minor(logit_list: Sequence[jax.Array],
+                        policy_list: Sequence[jax.Array],
+                        q_vr_list: Sequence[jax.Array],
+                        valid: jax.Array,
+                        player_ids: jax.Array,
+                        legal_actions: jax.Array,
+                        importance_sampling_correction: Sequence[jax.Array],
+                        clip: float = 100.0,
+                        threshold: float = 2.0,
+                        global_sum=None) -> jax.Array:
+    """``get_loss_nerd`` for (T, A, B) logits/policies/targets; the
+    importance-sampling corrections are (T, B) (broadcast over actions)."""
+    total = 0.0
+    for k, (logit_pi, pi, q_vr, is_c) in enumerate(
+            zip(logit_list, policy_list, q_vr_list,
+                importance_sampling_correction)):
+        adv_pi = q_vr - (pi * q_vr).sum(-2, keepdims=True)
+        adv_pi = is_c[:, None, :] * adv_pi
+        adv_pi = jnp.clip(adv_pi, -clip, clip)
+        adv_pi = jax.lax.stop_gradient(adv_pi)
+
+        logits = logit_pi - (logit_pi * legal_actions).mean(-2, keepdims=True)
+        nerd = (legal_actions
+                * apply_force_with_threshold(
+                    logits, adv_pi, threshold,
+                    jnp.zeros_like(logits))).sum(-2)
+        total = total - renormalize(nerd, valid * (player_ids == k),
+                                    global_sum)
+    return total

@@ -229,12 +229,16 @@ def joint_policy_from_net(tree: GameTree, apply_fn, variables,
 
 
 def kld(p: jax.Array, q: jax.Array, valid: jax.Array,
-        legal_actions: jax.Array, global_sum=None) -> jax.Array:
+        legal_actions: jax.Array, global_sum=None,
+        action_axis: int = -1) -> jax.Array:
     """Masked KL divergence diagnostic (reference util/metric.py:193-211).
 
     ``global_sum`` (e.g. a psum over the data axis) makes the valid-count
-    normalization global when the batch is sharded over devices."""
-    sel = (valid[..., None] * legal_actions) > 0
+    normalization global when the batch is sharded over devices.
+    ``action_axis=-2`` accepts batch-minor (T, A, B) policies (see
+    learn/vtrace.py's batch-minor section); the reduction is over the same
+    elements either way, so the value is layout-independent."""
+    sel = (jnp.expand_dims(valid, action_axis) * legal_actions) > 0
     safe = lambda x: jnp.log(jnp.maximum(x, 1e-30))
     terms = jnp.where(sel, p * (safe(p) - safe(q)), 0.0)
     total, count = terms.sum(), valid.sum()

@@ -40,6 +40,22 @@ def masked_log_policy(logits: jax.Array, legal: jax.Array) -> jax.Array:
     return jnp.where(legal > 0, lp, 0.0)
 
 
+def masked_policy_minor(logits: jax.Array, legal: jax.Array) -> jax.Array:
+    """``masked_policy`` for batch-minor (..., A, B) arrays (action axis
+    -2; see learn/vtrace.py's batch-minor section for why this layout)."""
+    ml = masked_logits(logits, legal)
+    p = jax.nn.softmax(ml, axis=-2)
+    return jnp.where(legal > 0, p, 0.0)
+
+
+def masked_log_policy_minor(logits: jax.Array, legal: jax.Array
+                            ) -> jax.Array:
+    """``masked_log_policy`` for batch-minor (..., A, B) arrays."""
+    ml = masked_logits(logits, legal)
+    lp = jax.nn.log_softmax(ml, axis=-2)
+    return jnp.where(legal > 0, lp, 0.0)
+
+
 def sample_actions(key: jax.Array, logits: jax.Array,
                    legal: jax.Array) -> jax.Array:
     """Samples one action per row from the legal-masked policy

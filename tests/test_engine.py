@@ -261,3 +261,37 @@ def test_stored_obs_matches_rederived(small_tree):
     obs_st, masks_st = engine.trajectory_observations(packed, stored)
     np.testing.assert_array_equal(np.asarray(obs_st), np.asarray(obs_re))
     np.testing.assert_array_equal(np.asarray(masks_st), np.asarray(masks_re))
+
+
+def test_policy_minor_rollout_bit_exact(small_tree):
+    """policy_minor=True stores the identical behavior policy transposed
+    (T, A, B); everything else in the trajectory is bit-identical (the
+    record layout cannot affect the episode dynamics), including through
+    the lane-chunked restitch path."""
+    from rnad_tpu.ops import stepping
+
+    t = small_tree
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=32))
+    variables = nets.init_variables(net, jax.random.PRNGKey(1), 3)
+    actor = lambda vs, obs: nets.apply_eval(net, vs, obs)
+    packed = stepping.make_packed_tables(t)
+    key = jax.random.PRNGKey(11)
+    for chunks in (1, 2):
+        base = engine.rollout(t, actor, variables, key, 128, packed=packed,
+                              store_obs=True, lane_chunks=chunks)
+        minor = engine.rollout(t, actor, variables, key, 128, packed=packed,
+                               store_obs=True, lane_chunks=chunks,
+                               policy_minor=True)
+        assert minor.policy_layout == "amb"
+        assert minor.policy.shape == (base.policy.shape[0],
+                                      base.policy.shape[2],
+                                      base.policy.shape[1])
+        assert minor.num_actions == 3
+        np.testing.assert_array_equal(np.asarray(minor.policy_bma()),
+                                      np.asarray(base.policy))
+        np.testing.assert_array_equal(np.asarray(base.policy_amb()),
+                                      np.asarray(minor.policy))
+        for name in ("indices", "actions", "rewards", "values", "obs"):
+            np.testing.assert_array_equal(np.asarray(getattr(minor, name)),
+                                          np.asarray(getattr(base, name)),
+                                          err_msg=f"{name} chunks={chunks}")

@@ -446,3 +446,41 @@ def test_flat_optimizer_equinet_fallback(small_tree):
     state, metrics = train_step(state, jnp.float32(0.5))
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
+
+
+def test_learner_layout_bit_exact(small_tree):
+    """learner_layout='amb' (batch-minor v-trace/losses) must match the
+    reference 'bma' layout to ulp tolerance over several train steps.
+
+    The isolated functions are bitwise identical (test_vtrace_minor.py);
+    inside the fused jitted step the two layouts are different programs,
+    and XLA's fusion/FMA formation may differ by the last ulp (the same
+    tolerance class as fuse_net_passes='heads' vs 'off')."""
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16))
+    states = []
+    for layout in ("bma", "amb"):
+        cfg = small_cfg(batch_size=48, learner_layout=layout)
+        train_step, _, _, _ = rnad_lib.make_rnad_fns(net, small_tree, cfg)
+        state = rnad_lib.init_train_state(net, jax.random.PRNGKey(5), 3, cfg)
+        metrics = None
+        for _ in range(3):
+            state, metrics = train_step(state, jnp.float32(0.5))
+        states.append((state, metrics))
+    (a, ma), (b, mb) = states
+    close = jax.tree.map(
+        lambda x, y: np.allclose(np.asarray(x), np.asarray(y),
+                                 rtol=1e-5, atol=1e-7),
+        (a.variables, a.variables_target),
+        (b.variables, b.variables_target))
+    assert jax.tree.all(close)
+    for k in ma:
+        assert np.allclose(np.asarray(ma[k]), np.asarray(mb[k]),
+                           rtol=1e-4, atol=1e-6), k
+
+
+def test_learner_layout_amb_rejects_assoc(small_tree):
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16))
+    cfg = small_cfg(batch_size=48, learner_layout="amb",
+                    vtrace_mode="associative")
+    with pytest.raises(ValueError, match="sequential-scan"):
+        rnad_lib.make_rnad_fns(net, small_tree, cfg)
