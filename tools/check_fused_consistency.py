@@ -40,6 +40,13 @@ def main():
                         default="off",
                         help="RNaDConfig.fuse_net_passes for the checked "
                              "step (the fused-matmul net passes)")
+    parser.add_argument("--layout", choices=["bma", "amb", "auto"],
+                        default="bma",
+                        help="RNaDConfig.learner_layout for the checked "
+                             "step (batch-minor v-trace/loss tensors)")
+    parser.add_argument("--flat-optimizer", action="store_true",
+                        help="RNaDConfig.flat_optimizer for the checked "
+                             "step")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (sanity mode)")
     args = parser.parse_args()
@@ -85,7 +92,9 @@ def main():
     cfg = RNaDConfig(batch_size=args.batch, eta=0.2, bounds=(1,),
                      delta_m=(1,), lr=1e-3, gamma_averaging=0.01,
                      logit_clip=2.0, frozen_net_dtype=args.dtype,
-                     fuse_net_passes=args.fuse)
+                     fuse_net_passes=args.fuse,
+                     learner_layout=args.layout,
+                     flat_optimizer=args.flat_optimizer)
     train_step, rollout_jit, learn_jit, _ = rnad_lib.make_rnad_fns(
         net, tree, cfg)
     state = rnad_lib.init_train_state(net, jax.random.PRNGKey(0), A, cfg)

@@ -74,18 +74,30 @@ def main():
         ("bf16/heads-light", "bfloat16", "bfloat16", "heads-light"),
         ("bf16/frozen", "bfloat16", "bfloat16", "frozen"),
         ("bf16/all", "bfloat16", "bfloat16", "all"),
+        # Batch-minor learner layout (RNaDConfig.learner_layout="amb") and
+        # the raveled clip+Adam+EMA tail (flat_optimizer) — round-4
+        # candidates over the round-3 default ("heads").
+        ("f32/heads-amb", "float32", "float32", "heads-amb"),
+        ("f32/heads-amb-flat", "float32", "float32", "heads-amb-flat"),
+        ("f32/heads-flat", "float32", "float32", "heads-flat"),
+        ("bf16/heads-amb", "bfloat16", "bfloat16", "heads-amb"),
+        ("bf16/heads-amb-flat", "bfloat16", "bfloat16", "heads-amb-flat"),
     ]
     if args.only:
         pats = args.only.split(",")
         combos = [c for c in combos if any(p in c[0] for p in pats)]
     results = {}
     for label, net_dtype, frozen_dtype, fuse in combos:
-        detailed = not fuse.endswith("-light")
-        fuse = fuse.removesuffix("-light")
+        parts = fuse.split("-")
+        fuse, mods = parts[0], set(parts[1:])
+        assert mods <= {"light", "amb", "flat"}, mods
         cfg = RNaDConfig(batch_size=B, eta=0.2, bounds=(1,), delta_m=(1,),
                          lr=1e-3, gamma_averaging=0.01, logit_clip=2.0,
                          frozen_net_dtype=frozen_dtype,
-                         fuse_net_passes=fuse, detailed_metrics=detailed)
+                         fuse_net_passes=fuse,
+                         detailed_metrics="light" not in mods,
+                         learner_layout="amb" if "amb" in mods else "bma",
+                         flat_optimizer="flat" in mods)
         net = nets.build_net(NetConfig(type="MLP", max_actions=A,
                                        width=args.width,
                                        compute_dtype=net_dtype))

@@ -9,6 +9,9 @@ Variants (comma list via --variants):
               single-chip fix for the >131k scoped-memory spill,
               docs/PERF_ANALYSIS.md)
   chunkN      generic path + lane_chunks=N
+  *_pmin      store the behavior-policy record batch-minor (T, A, B) —
+              the (T, B, A) scan output pads its trailing A to the
+              128-lane tile (env/engine.py::Trajectory.policy)
 
 Method mirrors bench.py: ITERS rollouts inside one jitted scan so the
 number is pure device throughput; per-lane episode-diversity self-check
@@ -65,22 +68,25 @@ def main():
     t_weights = jnp.arange(1.0, T + 1.0)[:, None]
 
     def parse(name):
-        m = re.fullmatch(r"(base|fused)(?:_chunk(\d+))?|chunk(\d+)", name)
+        m = re.fullmatch(
+            r"(base|fused)(_pmin)?(?:_chunk(\d+))?|chunk(\d+)", name)
         if not m:
             raise ValueError(f"unknown variant {name}")
         fused = m.group(1) == "fused"
-        chunks = int(m.group(2) or m.group(3) or 1)
-        return fused, chunks
+        pmin = m.group(2) is not None
+        chunks = int(m.group(3) or m.group(4) or 1)
+        return fused, pmin, chunks
 
     results = {}
     for name in args.variants.split(","):
-        use_fused, chunks = parse(name)
+        use_fused, pmin, chunks = parse(name)
 
-        def roll(vs, key, use_fused=use_fused, chunks=chunks):
+        def roll(vs, key, use_fused=use_fused, pmin=pmin, chunks=chunks):
             return engine.rollout(
                 tree, actor, vs, key, B, num_turns, packed,
                 lane_chunks=chunks,
-                rows_actor=rows_actor if use_fused else None)
+                rows_actor=rows_actor if use_fused else None,
+                policy_minor=pmin)
 
         @jax.jit
         def run_many(vs, key, roll=roll):
