@@ -423,6 +423,32 @@ def main():
                         "config (XLA:TPU miscompile, docs/PERF_ANALYSIS.md)"
                         "; the number measures the per-step production "
                         "program via chained async dispatch.\n")
+            f.write(
+                "\n## How these numbers relate to the other published "
+                "numbers\n\n"
+                "Three harnesses measure the same programs with different "
+                "denominators; when comparing, match the method:\n\n"
+                "- **This table** (tools/bench_suite.py): N iterations "
+                "inside one jitted scan (or, for `*` rows, chained "
+                "per-step dispatch), so the per-program tunnel round trip "
+                "is amortized below a few percent.  Wall-clock sustained "
+                "throughput.\n"
+                "- **bench.py** (the driver headline; BENCH_r0N.json): the "
+                "same scan method at one shape — demo tree, 131,072 lanes, "
+                "512 rollouts per timed program — plus a fused-train-step "
+                "rate at 32,768 lanes measured with chained per-step "
+                "dispatch (production dispatch mode, so it reads a few "
+                "percent below this table's scan numbers for the same "
+                "shape).\n"
+                "- **docs/PERF_ANALYSIS.md**: device-busy time from "
+                "xplane traces (jax.profiler), i.e. excluding all host/"
+                "dispatch overhead — its per-step times are the floor the "
+                "two wall-clock harnesses approach from above.\n\n"
+                "Any residual disagreement between same-method, same-shape "
+                "numbers in different docs means one of them is stale: "
+                "this file and docs/PERF_ANALYSIS.md carry their "
+                "generation context in git history; BENCH_rNN.json is "
+                "written by the round driver at round end.\n")
         print("wrote docs/PERF.md")
 
 
