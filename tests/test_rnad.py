@@ -484,3 +484,30 @@ def test_learner_layout_amb_rejects_assoc(small_tree):
                     vtrace_mode="associative")
     with pytest.raises(ValueError, match="sequential-scan"):
         rnad_lib.make_rnad_fns(net, small_tree, cfg)
+
+
+@pytest.mark.parametrize("net_cfg", [
+    NetConfig(type="EquiNet", max_actions=3, channels=8, depth=1,
+              solver_iters=8, solver_prime=True),
+    NetConfig(type="ConvNet", max_actions=3, channels=8, depth=1),
+])
+def test_learner_layout_all_families(small_tree, net_cfg):
+    """The batch-minor layout is net-family-agnostic (it starts after the
+    net forwards): EquiNet/ConvNet steps must match the reference layout
+    to ulp tolerance too."""
+    net = nets.build_net(net_cfg)
+    states = []
+    for layout in ("bma", "amb"):
+        cfg = small_cfg(batch_size=48, learner_layout=layout)
+        train_step, _, _, _ = rnad_lib.make_rnad_fns(net, small_tree, cfg)
+        state = rnad_lib.init_train_state(net, jax.random.PRNGKey(9), 3, cfg)
+        state, metrics = train_step(state, jnp.float32(0.5))
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (net_cfg.type, k)
+        states.append(state)
+    a, b = states
+    close = jax.tree.map(
+        lambda x, y: np.allclose(np.asarray(x), np.asarray(y),
+                                 rtol=1e-5, atol=1e-7),
+        a.variables, b.variables)
+    assert jax.tree.all(close), net_cfg.type
