@@ -31,7 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--tree", choices=["demo", "big"], default="demo")
+    parser.add_argument("--tree", default="demo",
+                        help="'demo', 'big', or the name of a saved tree "
+                             "under saved_trees/ (e.g. 'deeptree-t36' to "
+                             "check the associative-v-trace T=36 shape)")
     parser.add_argument("--batch", type=int, default=4096)
     parser.add_argument("--dtype", choices=["float32", "bfloat16"],
                         default="float32")
@@ -47,6 +50,9 @@ def main():
     parser.add_argument("--flat-optimizer", action="store_true",
                         help="RNaDConfig.flat_optimizer for the checked "
                              "step")
+    parser.add_argument("--vtrace-mode", choices=["scan", "associative",
+                                                  "auto"], default="auto",
+                        help="RNaDConfig.vtrace_mode for the checked step")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (sanity mode)")
     args = parser.parse_args()
@@ -72,16 +78,21 @@ def main():
             depth_bound=4,
             depth_bound_rule=ShapingRule(delta=-1, stochastic_delta=-2,
                                          stochastic_prob=0.5))
-    else:
+    elif args.tree == "big":
         tcfg = TreeConfig(
             max_actions=5, max_transitions=2, transition_threshold=0.25,
             depth_bound=6,
             depth_bound_rule=ShapingRule(delta=-1, stochastic_delta=-2,
                                          stochastic_prob=0.55))
-    try:
-        tree = tree_lib.generate_tree_native(tcfg, seed=0)
-    except RuntimeError:
-        tree = tree_lib.generate_tree(tcfg, seed=0)
+    else:
+        from rnad_tpu.utils import checkpoint
+        tree = tcfg = None
+        tree = checkpoint.load_tree(args.tree)
+    if tree is None:
+        try:
+            tree = tree_lib.generate_tree_native(tcfg, seed=0)
+        except RuntimeError:
+            tree = tree_lib.generate_tree(tcfg, seed=0)
     A = tree.max_actions
     print(f"tree={tree.size} A={A} depth={tree.max_depth} "
           f"batch={args.batch} dtype={args.dtype} "
@@ -94,7 +105,8 @@ def main():
                      logit_clip=2.0, frozen_net_dtype=args.dtype,
                      fuse_net_passes=args.fuse,
                      learner_layout=args.layout,
-                     flat_optimizer=args.flat_optimizer)
+                     flat_optimizer=args.flat_optimizer,
+                     vtrace_mode=args.vtrace_mode)
     train_step, rollout_jit, learn_jit, _ = rnad_lib.make_rnad_fns(
         net, tree, cfg)
     state = rnad_lib.init_train_state(net, jax.random.PRNGKey(0), A, cfg)
