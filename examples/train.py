@@ -59,6 +59,13 @@ def main():
     p.add_argument("--delta-m", type=int, nargs="+", default=None,
                    help="steps per update period in each bounds segment")
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--lr-schedule", default=None,
+                   choices=["constant", "cosine"],
+                   help="constant (reference-exact) or cosine decay to "
+                        "lr * lr-final-fraction over --lr-decay-steps "
+                        "(RNaDConfig.lr_schedule)")
+    p.add_argument("--lr-decay-steps", type=int, default=None)
+    p.add_argument("--lr-final-fraction", type=float, default=None)
     p.add_argument("--gamma-avg", type=float, default=None,
                    help="EMA rate of the target net (gamma_averaging)")
     p.add_argument("--fuse-net-passes", default=None,
@@ -167,7 +174,10 @@ def main():
         override_kw = {k: v for k, v in dict(
             bounds=tuple(args.bounds) if args.bounds else None,
             delta_m=tuple(args.delta_m) if args.delta_m else None,
-            lr=args.lr, gamma_averaging=args.gamma_avg,
+            lr=args.lr, lr_schedule=args.lr_schedule,
+            lr_decay_steps=args.lr_decay_steps,
+            lr_final_fraction=args.lr_final_fraction,
+            gamma_averaging=args.gamma_avg,
             frozen_net_dtype=args.frozen_dtype,
             learner_layout=args.learner_layout,
             flat_optimizer=args.flat_optimizer,

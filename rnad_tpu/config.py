@@ -151,6 +151,18 @@ class RNaDConfig:
     bounds: Tuple[int, ...] = (100, 165, 200)
     delta_m: Tuple[int, ...] = (10_000, 100_000, 35_000)
     lr: float = 5e-5
+    # Learning-rate schedule (framework extension; the reference trains at
+    # a constant lr, reference rnad.py:40-64 — "constant" reproduces it
+    # exactly, same optimizer state layout).  "cosine": lr decays from
+    # ``lr`` to ``lr * lr_final_fraction`` over ``lr_decay_steps`` learner
+    # steps, then holds.  Motivation (docs/SCALE.md): at production scale
+    # the constant-lr NashConv curve is U-shaped — it descends, then erodes
+    # as successive regularization-net rotations compound the per-period
+    # tracking error; decaying the step size freezes the policy at its
+    # converged point instead.
+    lr_schedule: str = "constant"
+    lr_decay_steps: int = 0
+    lr_final_fraction: float = 0.0
     logit_clip: float = 2.0
     neurd_clip: float = 1e3
     grad_clip: float = 1e3

@@ -20,7 +20,9 @@ serialization call.
 from __future__ import annotations
 
 import functools
+import json
 import logging
+import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -53,10 +55,24 @@ class TrainState:
 
 def make_optimizer(cfg: RNaDConfig) -> optax.GradientTransformation:
     """Global-norm clip then Adam with the paper's b1=0
-    (reference rnad.py:232-237, 456)."""
+    (reference rnad.py:232-237, 456).
+
+    ``cfg.lr_schedule == "constant"`` (the default) matches the reference's
+    fixed learning rate and its optimizer-state layout exactly; "cosine"
+    passes an optax cosine-decay schedule instead (see RNaDConfig).
+    """
+    if cfg.lr_schedule == "constant":
+        lr = cfg.lr
+    elif cfg.lr_schedule == "cosine":
+        if cfg.lr_decay_steps <= 0:
+            raise ValueError("lr_schedule='cosine' needs lr_decay_steps > 0")
+        lr = optax.cosine_decay_schedule(cfg.lr, cfg.lr_decay_steps,
+                                         alpha=cfg.lr_final_fraction)
+    else:
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adam(cfg.lr, b1=cfg.b1_adam, b2=cfg.b2_adam,
+        optax.adam(lr, b1=cfg.b1_adam, b2=cfg.b2_adam,
                    eps=cfg.epsilon_adam),
     )
 
@@ -541,6 +557,7 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
         metrics["gradient_norm"] = optax.global_norm(grads)
 
         use_flat = (cfg.flat_optimizer
+                    and cfg.lr_schedule == "constant"
                     and _all_f32((grads, state.variables,
                                   state.variables_target)))
         if use_flat:
@@ -788,6 +805,14 @@ class RNaD:
             expl_mod: int = 1, log_mod: int = 20) -> None:
         self.initialize()
         cfg = self.cfg
+        if not hasattr(self, "_best_nashconv"):
+            # resume-safe: a restarted run keeps improving on the stored
+            # best instead of overwriting it with a worse early eval
+            best_path = os.path.join(self.store.directory, "best.json")
+            self._best_nashconv = float("inf")
+            if os.path.exists(best_path):
+                with open(best_path) as f:
+                    self._best_nashconv = float(json.load(f)["nashconv"])
         on_policy = cfg.n_batches_per_buffer == 1 and cfg.buffer_mod == 1
         buffer = TrajectoryBuffer(cfg.n_batches_per_buffer)
         import time as _time
@@ -806,8 +831,18 @@ class RNaD:
             if (expl_mod > 0 and self.m % expl_mod == 0 and self.n == 0
                     and self.m != 0):
                 value = self.nashconv()
-                self.logger.log({"nashconv": value},
-                                int(host_value(self.state.total_steps)))
+                step = int(host_value(self.state.total_steps))
+                self.logger.log({"nashconv": value}, step)
+                # Model selection by the exact evaluator: keep the best
+                # EMA-target policy seen (see RunStore.save_best).
+                if value < self._best_nashconv:
+                    self._best_nashconv = value
+                    self.store.save_best(
+                        self.state,
+                        {"nashconv": value, "step": step,
+                         "m": self.m, "n": self.n})
+                    logging.info("new best nashconv %.6f at step %d",
+                                 value, step)
 
             while self.n < delta_m:
                 alpha = alpha_schedule(self.n, delta_m)

@@ -182,6 +182,44 @@ class RunStore:
             data = f.read()
         return serialization.from_bytes(template, data)
 
+    def save_best(self, state, meta: dict) -> str:
+        """Atomic write of the best-evaluated checkpoint + its metadata.
+
+        Model selection by the exact evaluator (an extension the reference
+        cannot offer — it has no in-loop exact NashConv): ``RNaD.run``
+        calls this whenever a whole-tree eval improves on the best seen, so
+        the served policy is the curve's minimum even when constant-lr
+        self-play later erodes it (the U-shaped dynamic of docs/SCALE.md).
+        Separate from the (m, n) resume chain: ``latest()`` never returns
+        it, so crash-resume semantics are unchanged."""
+        import jax
+
+        path = os.path.join(self.directory, "best.ckpt")
+        state = jax.tree.map(_fetch_global, state)
+        if jax.process_index() != 0:
+            return path
+        os.makedirs(self.directory, exist_ok=True)
+        data = serialization.to_bytes(state)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        with open(path + ".tmp.json", "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True)
+        os.replace(path + ".tmp.json",
+                   os.path.join(self.directory, "best.json"))
+        return path
+
+    def load_best(self, template):
+        """(state, meta) of the best-evaluated checkpoint, or None."""
+        path = os.path.join(self.directory, "best.ckpt")
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            state = serialization.from_bytes(template, f.read())
+        with open(os.path.join(self.directory, "best.json")) as f:
+            return state, json.load(f)
+
     def latest(self) -> Optional[Tuple[int, int]]:
         """Max (m, n) with a saved checkpoint, resume semantics of
         reference rnad.py:243-272.  An m-directory left empty by an

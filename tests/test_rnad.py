@@ -511,3 +511,100 @@ def test_learner_layout_all_families(small_tree, net_cfg):
                                  rtol=1e-5, atol=1e-7),
         a.variables, b.variables)
     assert jax.tree.all(close), net_cfg.type
+
+
+def test_lr_schedule_cosine_decays_updates(small_tree):
+    """lr_schedule="cosine": the optimizer's effective step size must track
+    optax.cosine_decay_schedule; "constant" stays the reference-exact fixed
+    lr (and keeps the reference opt_state layout)."""
+    import optax
+
+    cfg = small_cfg(lr=1e-2, lr_schedule="cosine", lr_decay_steps=8,
+                    lr_final_fraction=0.1)
+    tx = rnad_lib.make_optimizer(cfg)
+    params = {"w": jnp.zeros((4,))}
+    opt_state = tx.init(params)
+    g = {"w": jnp.ones((4,))}
+    sched = optax.cosine_decay_schedule(1e-2, 8, alpha=0.1)
+    for step in range(10):
+        updates, opt_state = tx.update(g, opt_state, params)
+        # constant gradient -> Adam's normalized direction is 1, so the
+        # update magnitude IS the scheduled lr (up to eps)
+        got = float(-updates["w"][0])
+        want = float(sched(step))
+        assert abs(got - want) < 1e-4 * max(want, 1e-9), (step, got, want)
+
+    # guard rails
+    with pytest.raises(ValueError, match="lr_decay_steps"):
+        rnad_lib.make_optimizer(small_cfg(lr_schedule="cosine"))
+    with pytest.raises(ValueError, match="lr_schedule"):
+        rnad_lib.make_optimizer(small_cfg(lr_schedule="warmup"))
+
+
+def test_lr_schedule_train_step_and_flat_fallback(small_tree):
+    """A full train step under the cosine schedule is finite, and
+    flat_optimizer (whose raveled tail assumes the constant lr) silently
+    falls back to the optax path — both configs produce the identical
+    update."""
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16))
+    states = []
+    for flat in (False, True):
+        cfg = small_cfg(lr_schedule="cosine", lr_decay_steps=16,
+                        flat_optimizer=flat)
+        train_step, _, _, _ = rnad_lib.make_rnad_fns(net, small_tree, cfg)
+        state = rnad_lib.init_train_state(net, jax.random.PRNGKey(3), 3, cfg)
+        state, metrics = train_step(state, jnp.float32(0.5))
+        assert np.isfinite(float(metrics["loss"]))
+        states.append(state)
+    same = jax.tree.map(
+        lambda x, y: np.array_equal(np.asarray(x), np.asarray(y)),
+        states[0].variables, states[1].variables)
+    assert jax.tree.all(same)
+
+
+def test_best_checkpoint_tracking(tmp_path, small_tree):
+    """RNaD.run must store the best-evaluated EMA target (best.ckpt +
+    best.json) and never overwrite it with a worse later eval; a resumed
+    run keeps improving on the stored best (utils/checkpoint.py::
+    RunStore.save_best)."""
+    import json as _json
+    import os as _os
+
+    cfg = small_cfg(bounds=(3,), delta_m=(2,))
+    ncfg = NetConfig(type="MLP", max_actions=3, width=16)
+    t1 = rnad_lib.RNaD(small_tree, cfg, ncfg, directory_name="bestrun",
+                       runs_root=str(tmp_path), seed=0)
+    t1.run(max_updates=3, checkpoint_mod=10**9, expl_mod=1, log_mod=10**9)
+
+    best_json = _os.path.join(str(tmp_path), "bestrun", "best.json")
+    assert _os.path.exists(best_json)
+    with open(best_json) as f:
+        meta = _json.load(f)
+    # the stored best must equal the minimum of the logged evals
+    evals = []
+    with open(_os.path.join(str(tmp_path), "bestrun",
+                            "metrics.jsonl")) as f:
+        for line in f:
+            rec = _json.loads(line)
+            if "nashconv" in rec:
+                evals.append(rec["nashconv"])
+    assert evals and abs(meta["nashconv"] - min(evals)) < 1e-9
+
+    # load_best restores a state whose target net reproduces the eval
+    template = rnad_lib.init_train_state(
+        t1.net, jax.random.PRNGKey(0), 3, cfg)
+    best_state, meta2 = t1.store.load_best(template)
+    assert meta2 == meta
+    from rnad_tpu.metrics import nashconv as nc
+    got = float(t1.nashconv_fn(best_state.variables_target).nashconv())
+    assert abs(got - meta["nashconv"]) < 1e-5
+
+    # a fresh RNaD on the same directory resumes with the stored best as
+    # the bar (no overwrite by a worse eval): run one more update and
+    # check best.json never got worse
+    t2 = rnad_lib.RNaD(small_tree, cfg, ncfg, directory_name="bestrun",
+                       runs_root=str(tmp_path), seed=0)
+    t2.run(max_updates=1, checkpoint_mod=10**9, expl_mod=1, log_mod=10**9)
+    with open(best_json) as f:
+        meta3 = _json.load(f)
+    assert meta3["nashconv"] <= meta["nashconv"] + 1e-12
