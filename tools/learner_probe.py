@@ -34,6 +34,14 @@ def main():
     p.add_argument("--only", default=None,
                    help="comma-separated substrings; run only matching "
                         "configs (e.g. 'heads,off')")
+    p.add_argument("--tree", default="demo",
+                   help="'demo' or the name of a saved tree (e.g. "
+                        "'deeptree-t36' for the T=36 associative-v-trace "
+                        "shape)")
+    p.add_argument("--vtrace", default=None,
+                   help="comma list of vtrace modes to cross with every "
+                        "selected config (scan,associative); default: the "
+                        "config default ('auto')")
     args = p.parse_args()
 
     import jax
@@ -50,12 +58,16 @@ def main():
     from rnad_tpu.learn import rnad as rnad_lib
     from rnad_tpu.models import nets
 
-    tcfg = TreeConfig(
-        max_actions=3, max_transitions=2, transition_threshold=0.3,
-        depth_bound=4,
-        depth_bound_rule=ShapingRule(delta=-1, stochastic_delta=-2,
-                                     stochastic_prob=0.5))
-    tree = tree_lib.generate_tree(tcfg, seed=0)
+    if args.tree == "demo":
+        tcfg = TreeConfig(
+            max_actions=3, max_transitions=2, transition_threshold=0.3,
+            depth_bound=4,
+            depth_bound_rule=ShapingRule(delta=-1, stochastic_delta=-2,
+                                         stochastic_prob=0.5))
+        tree = tree_lib.generate_tree(tcfg, seed=0)
+    else:
+        from rnad_tpu.utils import checkpoint
+        tree = checkpoint.load_tree(args.tree)
     A = tree.max_actions
     B = args.batch
     print(f"tree={tree.size} depth={tree.max_depth} batch={B} "
@@ -85,9 +97,17 @@ def main():
     ]
     if args.only:
         pats = args.only.split(",")
-        combos = [c for c in combos if any(p in c[0] for p in pats)]
+        match = lambda lbl: any((lbl == p[:-1]) if p.endswith("$")
+                                else (p in lbl) for p in pats)
+        combos = [c for c in combos if match(c[0])]
+    if args.vtrace:
+        combos = [(f"{label}@{vm}", nd, fd, fuse, vm)
+                  for vm in args.vtrace.split(",")
+                  for (label, nd, fd, fuse) in combos]
+    else:
+        combos = [c + ("auto",) for c in combos]
     results = {}
-    for label, net_dtype, frozen_dtype, fuse in combos:
+    for label, net_dtype, frozen_dtype, fuse, vtrace_mode in combos:
         parts = fuse.split("-")
         fuse, mods = parts[0], set(parts[1:])
         assert mods <= {"light", "amb", "flat"}, mods
@@ -97,7 +117,8 @@ def main():
                          fuse_net_passes=fuse,
                          detailed_metrics="light" not in mods,
                          learner_layout="amb" if "amb" in mods else "bma",
-                         flat_optimizer="flat" in mods)
+                         flat_optimizer="flat" in mods,
+                         vtrace_mode=vtrace_mode)
         net = nets.build_net(NetConfig(type="MLP", max_actions=A,
                                        width=args.width,
                                        compute_dtype=net_dtype))
