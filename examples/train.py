@@ -66,6 +66,10 @@ def main():
                         "(RNaDConfig.lr_schedule)")
     p.add_argument("--lr-decay-steps", type=int, default=None)
     p.add_argument("--lr-final-fraction", type=float, default=None)
+    p.add_argument("--policy-warmup", type=int, default=None,
+                   help="critic-first warmup: gate the NeuRD policy loss "
+                        "to zero for this many initial learner steps "
+                        "(RNaDConfig.policy_warmup_steps)")
     p.add_argument("--gamma-avg", type=float, default=None,
                    help="EMA rate of the target net (gamma_averaging)")
     p.add_argument("--fuse-net-passes", default=None,
@@ -177,6 +181,7 @@ def main():
             lr=args.lr, lr_schedule=args.lr_schedule,
             lr_decay_steps=args.lr_decay_steps,
             lr_final_fraction=args.lr_final_fraction,
+            policy_warmup_steps=args.policy_warmup,
             gamma_averaging=args.gamma_avg,
             frozen_net_dtype=args.frozen_dtype,
             learner_layout=args.learner_layout,

@@ -179,6 +179,16 @@ class RNaDConfig:
     vtrace_gamma: float = 1.0
     value_loss_weight: float = 1.0
     neurd_loss_weight: float = 1.0
+    # Critic-first warmup (framework extension; the reference has no analog
+    # and always trains both heads, reference rnad.py:407-425): while
+    # ``total_steps < policy_warmup_steps`` the NeuRD policy loss is gated
+    # to zero, so the value head learns accurate returns before the policy
+    # is allowed to move.  Motivation (docs/SCALE.md): a solver-primed net
+    # starts with a near-exact policy but an untrained critic; early policy
+    # updates driven by the critic's large initial error are what erode the
+    # primed policy.  Counted in ``total_steps``, so the gate is
+    # resume-safe.  0 disables (the reference behavior).
+    policy_warmup_steps: int = 0
     # trees larger than this evaluate NashConv via host-driven chunked
     # inference (chunk = this many nodes) instead of the fused whole-tree
     # program, bounding eval memory on multi-million-node trees (extension;

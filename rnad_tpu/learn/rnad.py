@@ -250,10 +250,24 @@ def resolve_learner_layout(cfg: RNaDConfig, use_assoc: bool) -> bool:
     return mode == "amb"
 
 
+def neurd_scale_for(cfg: RNaDConfig, total_steps) -> jax.Array | float:
+    """Critic-first warmup gate (RNaDConfig.policy_warmup_steps): the NeuRD
+    loss weight multiplier — 0.0 while ``total_steps < policy_warmup_steps``
+    (value head trains, policy head receives zero gradient and, with Adam's
+    zero-numerator update, does not move), 1.0 after.  ``total_steps`` may
+    be a traced array (it lives in TrainState, so the gate compiles into
+    the fused step without a host round-trip)."""
+    warm = cfg.policy_warmup_steps
+    if not warm:
+        return 1.0
+    return (jnp.asarray(total_steps) >= warm).astype(jnp.float32)
+
+
 def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
                reg_prev_vars, packed, traj: engine.Trajectory,
                alpha: jax.Array, cfg: RNaDConfig,
-               axis_name: Optional[str] = None):
+               axis_name: Optional[str] = None,
+               neurd_scale: jax.Array | float = 1.0):
     """Loss of one learner update (mirrors reference ``__learn``,
     rnad.py:353-456).  Differentiated w.r.t. ``learner_params`` only.
 
@@ -454,7 +468,10 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
         masks_metrics = masks
         action_axis = -1
 
-    loss = cfg.value_loss_weight * loss_v + cfg.neurd_loss_weight * loss_nerd
+    # neurd_scale gates the policy loss during the critic-first warmup
+    # (RNaDConfig.policy_warmup_steps; see neurd_scale_for).
+    loss = (cfg.value_loss_weight * loss_v
+            + neurd_scale * cfg.neurd_loss_weight * loss_nerd)
 
     metrics = {
         "loss": loss,
@@ -553,7 +570,8 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
         (loss, (mutated, metrics)), grads = grad_fn(
             state.variables["params"], aux_collections, net,
             state.variables_target, state.variables_reg,
-            state.variables_reg_, packed, traj, alpha, cfg)
+            state.variables_reg_, packed, traj, alpha, cfg,
+            neurd_scale=neurd_scale_for(cfg, state.total_steps))
         metrics["gradient_norm"] = optax.global_norm(grads)
 
         use_flat = (cfg.flat_optimizer

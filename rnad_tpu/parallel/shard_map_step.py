@@ -62,7 +62,8 @@ def _per_shard_learn(net, tx, cfg: RNaDConfig, packed,
     (loss, (mutated, metrics)), grads = grad_fn(
         state.variables["params"], aux, net, state.variables_target,
         state.variables_reg, state.variables_reg_, packed, traj, alpha,
-        cfg, axis_name=mesh_lib.DATA_AXIS)
+        cfg, axis_name=mesh_lib.DATA_AXIS,
+        neurd_scale=rnad_lib.neurd_scale_for(cfg, state.total_steps))
 
     # EXPLICIT gradient reduction.  Under shard_map's unreplicated-AD
     # convention (check_vma=False) the transpose of an in-loss psum is

@@ -608,3 +608,67 @@ def test_best_checkpoint_tracking(tmp_path, small_tree):
     with open(best_json) as f:
         meta3 = _json.load(f)
     assert meta3["nashconv"] <= meta["nashconv"] + 1e-12
+
+
+def test_policy_warmup_gates_neurd(small_tree):
+    """policy_warmup_steps (critic-first warmup): while total_steps <
+    warmup the NeuRD loss is gated to zero — the MLP's policy tower
+    (separate from the value tower) stays bitwise frozen while the value
+    tower trains; once the gate lifts, the policy tower moves.  The gate
+    is a traced function of TrainState.total_steps (learn/rnad.py::
+    neurd_scale_for), so one compiled program serves both phases and the
+    gate survives resume."""
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16))
+    cfg = small_cfg(policy_warmup_steps=2)
+    train_step, _, _, _ = rnad_lib.make_rnad_fns(net, small_tree, cfg)
+    state = rnad_lib.init_train_state(net, jax.random.PRNGKey(0), 3, cfg)
+
+    p0 = jax.tree.map(np.asarray, state.variables["params"])
+    for step in range(3):
+        state, metrics = train_step(state, jnp.float32(0.5))
+        assert np.isfinite(float(metrics["loss"]))
+        p = state.variables["params"]
+        pol_frozen = all(
+            np.array_equal(np.asarray(p[k][n]), p0[k][n])
+            for k in p if k.startswith("policy") for n in p[k])
+        val_moved = any(
+            not np.array_equal(np.asarray(p[k][n]), p0[k][n])
+            for k in p if k.startswith("value") for n in p[k])
+        if step < 2:  # total_steps was 0 then 1 when the loss ran
+            assert pol_frozen, step
+            assert val_moved, step
+        else:
+            assert not pol_frozen, step
+
+
+def test_policy_warmup_shard_map_matches_single_device(small_tree):
+    """The shard_map learner applies the same warmup gate: with
+    policy_warmup_steps set, its update on a fixed trajectory equals the
+    unsharded learn_fn's bitwise (same guarantee as the ungated path)."""
+    from rnad_tpu.parallel import mesh as mesh_lib
+    from rnad_tpu.parallel import shard_map_step
+
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16))
+    cfg = small_cfg(batch_size=16, policy_warmup_steps=1)
+    train_step, rollout_jit, learn_jit, _ = rnad_lib.make_rnad_fns(
+        net, small_tree, cfg)
+    state = rnad_lib.init_train_state(net, jax.random.PRNGKey(1), 3, cfg)
+    state, traj = rollout_jit(state)
+
+    mesh = mesh_lib.make_mesh(jax.devices()[:min(4, len(jax.devices()))])
+    learn_sm = shard_map_step.make_shard_map_learn_step(
+        net, small_tree, cfg, mesh)
+    ref_state, _ = learn_jit(state, traj, jnp.float32(0.5))
+    got_state, _ = learn_sm(state, traj, jnp.float32(0.5))
+    # total_steps=0 < warmup: the policy tower must be frozen in BOTH paths
+    for k in ref_state.variables["params"]:
+        if k.startswith("policy"):
+            for n, w in ref_state.variables["params"][k].items():
+                assert np.array_equal(
+                    np.asarray(w),
+                    np.asarray(state.variables["params"][k][n])), (k, n)
+    same = jax.tree.map(
+        lambda x, y: np.allclose(np.asarray(x), np.asarray(y),
+                                 rtol=1e-6, atol=1e-7),
+        ref_state.variables, got_state.variables)
+    assert jax.tree.all(same)
