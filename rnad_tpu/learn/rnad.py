@@ -541,6 +541,9 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
     use_assoc = (cfg.vtrace_mode == "associative"
                  or (cfg.vtrace_mode == "auto"
                      and 2 * tree.max_depth > 2 * vtrace.SCAN_UNROLL_CAP))
+    logging.info("v-trace mode: %s (vtrace_mode=%s, T=%d, unroll cap %d)",
+                 "associative" if use_assoc else "scan", cfg.vtrace_mode,
+                 2 * tree.max_depth, vtrace.SCAN_UNROLL_CAP)
     on_policy = cfg.n_batches_per_buffer == 1 and cfg.buffer_mod == 1
     policy_minor_record = (resolve_learner_layout(cfg, use_assoc)
                            and on_policy)
