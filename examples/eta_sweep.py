@@ -97,7 +97,7 @@ def main():
             use_same_init_net_as=same_init,
             use_wandb=args.wandb)
         trial.run(log_mod=10, expl_mod=args.expl_mod, checkpoint_mod=1000)
-        logging.info("eta=%s final nashconv: %f", eta, trial.nashconv())
+        logging.info("eta=%s final nashconv: %f", eta, trial.final_eval())
 
 
 if __name__ == "__main__":

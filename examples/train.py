@@ -211,7 +211,7 @@ def main():
     trainer.run(max_updates=args.max_updates,
                 checkpoint_mod=args.checkpoint_mod,
                 expl_mod=args.expl_mod, log_mod=args.log_mod)
-    logging.info("final nashconv: %f", trainer.nashconv())
+    logging.info("final nashconv: %f", trainer.final_eval())
 
 
 if __name__ == "__main__":

@@ -822,6 +822,23 @@ class RNaD:
 
     # -- main loop ---------------------------------------------------------
 
+    def final_eval(self) -> float:
+        """One exact eval of the current EMA target, logged to the metric
+        stream and folded into best-checkpoint selection.  The run loop
+        only evaluates at update boundaries BEFORE training the update, so
+        a completed run's last policy is otherwise never scored or eligible
+        for best.ckpt."""
+        value = self.nashconv()
+        step = int(host_value(self.state.total_steps))
+        self.logger.log({"nashconv": value}, step)
+        if value < getattr(self, "_best_nashconv", float("inf")):
+            self._best_nashconv = value
+            self.store.save_best(self.state, {"nashconv": value,
+                                              "step": step,
+                                              "m": self.m, "n": self.n})
+            logging.info("new best nashconv %.6f at step %d", value, step)
+        return value
+
     def run(self, max_updates: int = 10**6, checkpoint_mod: int = 1000,
             expl_mod: int = 1, log_mod: int = 20) -> None:
         self.initialize()
