@@ -72,6 +72,7 @@ def main():
     from rnad_tpu.models import nets
     from rnad_tpu.ops import stepping
 
+    tree = tcfg = None
     if args.tree == "demo":
         tcfg = TreeConfig(
             max_actions=3, max_transitions=2, transition_threshold=0.3,
@@ -86,7 +87,6 @@ def main():
                                          stochastic_prob=0.55))
     else:
         from rnad_tpu.utils import checkpoint
-        tree = tcfg = None
         tree = checkpoint.load_tree(args.tree)
     if tree is None:
         try:
