@@ -260,7 +260,10 @@ class RNaDConfig:
     #   "amb"  — batch-minor (sequential-scan v-trace only).
     #   "auto" — "amb" on TPU backends, "bma" elsewhere; the associative
     #            v-trace path always uses "bma" (vtrace_assoc.py).
-    learner_layout: str = "bma"
+    # Default "auto" since the round-4 measurement: at 32k lanes on v5e
+    # amb reads +5% f32 / +2% bf16 over "heads"-mode bma
+    # (tools/learner_probe.py, docs/PERF_ANALYSIS.md), bit-exact.
+    learner_layout: str = "auto"
     # Run the clip+Adam+EMA tail of the learner step on ONE raveled vector
     # instead of per-leaf pytree maps (learn/rnad.py::flat_optimizer_update).
     # Elementwise bit-exact (same optax formulas, per-leaf global-norm
