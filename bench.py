@@ -75,8 +75,11 @@ def main():
     @jax.jit
     def run_many(tr, pk, vs, key):
         def body(carry, k):
+            # policy_minor: the behavior-policy record writes as the
+            # unpadded (T, A, B) buffer instead of the ~128/A-tile-padded
+            # (T, B, A) one — +5.5% at this shape (tools/rollout_probe.py)
             traj = engine.rollout(tr, actor, vs, k, batch, num_turns, pk,
-                                  rows_actor=rows_actor)
+                                  rows_actor=rows_actor, policy_minor=True)
             acc, min_std = carry
             lane_sig_std = jnp.std((traj.rewards * t_weights).sum(0))
             return (acc + traj.rewards.sum(),

@@ -184,7 +184,8 @@ def main():
             def body(carry, k):
                 traj = engine.rollout(tr, actor, vs, k, B, tr.max_depth, pk,
                                       lane_chunks=lane_chunks,
-                                      rows_actor=rows_actor)
+                                      rows_actor=rows_actor,
+                                      policy_minor=True)
                 acc, min_std = carry
                 return (acc + traj.rewards.sum(),
                         jnp.minimum(min_std,
