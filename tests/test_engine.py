@@ -295,3 +295,34 @@ def test_policy_minor_rollout_bit_exact(small_tree):
             np.testing.assert_array_equal(np.asarray(getattr(minor, name)),
                                           np.asarray(getattr(base, name)),
                                           err_msg=f"{name} chunks={chunks}")
+
+
+def test_policy_minor_lane_chunked_and_rows_actor(small_tree):
+    """policy_minor composes with lane_chunks and the rows-actor: the
+    batch-minor (T, A, B) policy record is the moveaxis of the (T, B, A)
+    one, every other field is bitwise identical, and the chunked restitch
+    places the lane axis correctly (axis 2 for the policy).  Guards the
+    bench.py / bench_suite headline path flipped to policy_minor=True in
+    round 4 (tools/rollout_probe.py measured +5.5%)."""
+    from rnad_tpu.ops import stepping
+
+    t = small_tree
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=32))
+    variables = nets.init_variables(net, jax.random.PRNGKey(1), 3)
+    actor = lambda vs, obs: nets.apply_eval(net, vs, obs)
+    packed = stepping.make_packed_tables(t)
+    ra = engine.make_mlp_rows_actor(net, packed)
+    key = jax.random.PRNGKey(11)
+    for chunks in (1, 4):
+        pmin = engine.rollout(t, actor, variables, key, 128, packed=packed,
+                              rows_actor=ra, policy_minor=True,
+                              lane_chunks=chunks)
+        base = engine.rollout(t, actor, variables, key, 128, packed=packed,
+                              rows_actor=ra, policy_minor=False,
+                              lane_chunks=chunks)
+        assert pmin.policy_layout == "amb" and base.policy_layout == "bma"
+        assert bool((jnp.moveaxis(pmin.policy, -1, -2)
+                     == base.policy).all()), chunks
+        for field in ("indices", "actions", "rewards", "values"):
+            assert bool((getattr(pmin, field)
+                         == getattr(base, field)).all()), (chunks, field)
