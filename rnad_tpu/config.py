@@ -197,8 +197,14 @@ class RNaDConfig:
     # v-trace evaluation strategy: "scan" = sequential reverse lax.scan
     # (bit-matches the reference recursion order), "associative" =
     # parallel-in-time associative scan (learn/vtrace_assoc.py; O(log T)
-    # depth, shardable time axis), "auto" = scan for shallow trajectories
-    # and associative once T exceeds twice the scan-unroll cap.
+    # depth, shardable time axis), "auto" = scan.  Measured on v5e
+    # (round 4, docs/PERF_ANALYSIS.md): the sequential scan wins at every
+    # tested depth incl. T=36 (38.9 vs 31.7 steps/s at B=16384 — the
+    # associative form does O(T log T) elementwise work and on one chip
+    # the scan's short fused body is throughput-, not latency-bound), so
+    # "auto" no longer switches by depth.  "associative" remains the
+    # explicit choice for time-axis sharding across a mesh (its reason to
+    # exist; CPU-mesh-tested) and for extreme-T experimentation.
     vtrace_mode: str = "auto"
     # dtype of the 3 frozen-net forwards in the learner (EMA target +
     # regularization pair): "bfloat16" halves their HBM traffic and doubles

@@ -365,12 +365,12 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
             values_target = values3[0]
             logits_reg2 = logits3[1:]
 
-    # Sequential scan for shallow trajectories (bit-matches the reference
-    # recursion order); parallel-in-time associative scan past the unroll
-    # cap, where the sequential dependency dominates (vtrace_assoc.py).
-    use_assoc = (cfg.vtrace_mode == "associative"
-                 or (cfg.vtrace_mode == "auto"
-                     and valid.shape[0] > 2 * vtrace.SCAN_UNROLL_CAP))
+    # Sequential scan unless explicitly told otherwise: measured faster
+    # than the associative form at every tested depth incl. T=36 on v5e
+    # (round 4, docs/PERF_ANALYSIS.md — the assoc form's O(T log T) work
+    # loses to the scan's short throughput-bound fused body on one chip).
+    # "associative" remains the explicit mode for time-axis sharding.
+    use_assoc = cfg.vtrace_mode == "associative"
     minor = resolve_learner_layout(cfg, use_assoc)
     sg = jax.lax.stop_gradient
     if minor:
@@ -538,12 +538,10 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
     # record is the learner's acting_policy input), but only on the
     # on-policy path: the replay buffer collates along lane axis 1 on
     # every field (learn/buffer.py), so buffered rollouts stay "bma".
-    use_assoc = (cfg.vtrace_mode == "associative"
-                 or (cfg.vtrace_mode == "auto"
-                     and 2 * tree.max_depth > 2 * vtrace.SCAN_UNROLL_CAP))
-    logging.info("v-trace mode: %s (vtrace_mode=%s, T=%d, unroll cap %d)",
+    use_assoc = cfg.vtrace_mode == "associative"
+    logging.info("v-trace mode: %s (vtrace_mode=%s, T=%d)",
                  "associative" if use_assoc else "scan", cfg.vtrace_mode,
-                 2 * tree.max_depth, vtrace.SCAN_UNROLL_CAP)
+                 2 * tree.max_depth)
     on_policy = cfg.n_batches_per_buffer == 1 and cfg.buffer_mod == 1
     policy_minor_record = (resolve_learner_layout(cfg, use_assoc)
                            and on_policy)
