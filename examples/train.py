@@ -107,6 +107,16 @@ def main():
                         "is the RM+ solve, training learns the correction")
     p.add_argument("--compute-dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--obs-lift", type=int, default=None, metavar="C",
+                   help="enable the high-dimensional noisy observation "
+                        "transform with C lifted channels (the reference's "
+                        "observations_noisy promise, ops/obs_transform.py)")
+    p.add_argument("--obs-noise-sigma", type=float, default=0.1,
+                   help="per-half-step Gaussian noise std of --obs-lift")
+    p.add_argument("--obs-lift-bias", type=float, default=1.0,
+                   help="fixed random spatial bias scale of --obs-lift")
+    p.add_argument("--obs-lift-seed", type=int, default=0,
+                   help="parameter seed of --obs-lift")
     p.add_argument("--n-batches-per-buffer", type=int, default=1,
                    help="replay-buffer capacity in rollout batches; 1 = "
                         "on-policy (reference episode.py:292-334)")
@@ -168,6 +178,12 @@ def main():
                      buffer_mod=args.buffer_mod)
     if args.fuse_net_passes is not None:
         buffer_kw["fuse_net_passes"] = args.fuse_net_passes
+    if args.obs_lift is not None:
+        from rnad_tpu.config import ObsTransformConfig
+        buffer_kw["obs_transform"] = ObsTransformConfig(
+            kind="lift", channels=args.obs_lift,
+            sigma=args.obs_noise_sigma, bias_scale=args.obs_lift_bias,
+            seed=args.obs_lift_seed)
     if args.demo:
         cfg = RNaDConfig(batch_size=512, eta=args.eta, bounds=(64,),
                          delta_m=(100,), lr=1e-3, gamma_averaging=0.01,

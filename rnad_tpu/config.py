@@ -107,6 +107,35 @@ class TreeConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ObsTransformConfig:
+    """High-dimensional noisy observation transform — the capability the
+    reference's ``observations_noisy`` stub promises but never implements
+    (reference environment/episode.py:70-82; see ops/obs_transform.py for
+    the full design).  Declared and seeded, like ``ShapingRule``, so runs
+    are reproducible and the config serializes.
+
+    ``kind="lift"``: each half-step observation becomes ``channels``
+    random-mixed lifted views of the payoff/legal matrices (fixed seeded
+    (channels, 2) mixing + fixed seeded per-cell bias field) plus fresh
+    per-half-step Gaussian noise of std ``sigma``; the raw legal matrix
+    rides along at channel 1.  The net never sees the raw payoff matrix.
+    """
+
+    kind: str = "none"  # "none" | "lift"
+    channels: int = 8  # lifted channels (net input channels = this + 1)
+    sigma: float = 0.1  # per-half-step Gaussian noise std
+    bias_scale: float = 1.0  # scale of the fixed random spatial bias field
+    seed: int = 0  # the transform's own parameter seed
+
+    def to_json(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_json(cls, d: dict) -> "ObsTransformConfig":
+        return cls(**d)
+
+
+@dataclasses.dataclass(frozen=True)
 class NetConfig:
     """Network architecture selection (reference learn/rnad.py:145-151)."""
 
@@ -251,6 +280,16 @@ class RNaDConfig:
     #   "on"   — require it (raises for other nets/dtypes).
     #   "off"  — generic actor path (reference-shaped turn).
     rollout_rows_actor: str = "auto"
+    # Operand dtype of the seat-fused rows-actor matmuls ("float32" |
+    # "bfloat16"; rows-actor path only).  The rollout is padded-matmul-
+    # bound on TPU (tools/roofline.py: 74-86% of the tile-padded MXU wall
+    # vs ~15% of HBM wire), and bf16 operands with f32 accumulation halve
+    # that binding term with no extra HBM traffic (kernels cast once
+    # outside the turn scan; the gathered row's cast fuses into the MXU
+    # feed).  Logits shift by bf16 rounding only; the stored behavior
+    # policy remains exactly what the actor sampled from, so v-trace
+    # off-policy correctness is untouched.  f32 default = reference-exact.
+    rollout_actor_dtype: str = "float32"
     # Layout of the learner's v-trace/loss block (learn/vtrace.py's
     # batch-minor section).  Every (..., A)-trailing tensor that
     # materializes between the net forwards and the losses (the v-trace
@@ -278,6 +317,12 @@ class RNaDConfig:
     # when every param/variable leaf is float32 (raveling mixed dtypes
     # would promote); non-f32 states fall back to the pytree path.
     flat_optimizer: bool = False
+    # Observation transform between the environment and every net input
+    # (rollout actor, learner, exact eval): "none" reproduces the reference
+    # observation; "lift" is the high-dimensional noisy transform the
+    # reference's observations_noisy stub promises (ObsTransformConfig,
+    # ops/obs_transform.py).
+    obs_transform: ObsTransformConfig = ObsTransformConfig()
 
     def to_json(self) -> dict:
         d = dataclasses.asdict(self)
@@ -290,6 +335,9 @@ class RNaDConfig:
         d = dict(d)
         d["bounds"] = tuple(d["bounds"])
         d["delta_m"] = tuple(d["delta_m"])
+        if "obs_transform" in d:
+            d["obs_transform"] = ObsTransformConfig.from_json(
+                d["obs_transform"])
         return cls(**d)
 
 

@@ -81,7 +81,10 @@ class Trajectory:
     # XLA:TPU when consumed inside the large fused train-step program
     # (785k-node tree, T=12, A=5, B=131072 on v5e; first symptom -inf
     # NeuRD loss).  See tools/check_fused_consistency.py.
-    obs: jax.Array | None = None  # (T, B, 2, A, A) mover's view per half-step
+    # (T, B, C, A, A) mover's view per half-step; C = 2 raw, or
+    # obs_transform channels + 1 (channel 1 is the legal matrix in BOTH
+    # conventions, so the mask slice above is layout-independent).
+    obs: jax.Array | None = None
     policy_layout: str = struct.field(pytree_node=False, default="bma")
 
     @property
@@ -158,9 +161,24 @@ def trajectory_observations(packed: stepping.PackedTables, traj: Trajectory
 ActorFn = Callable[[dict, jax.Array], Tuple[jax.Array, jax.Array]]
 
 
-def make_mlp_rows_actor(net, packed: stepping.PackedTables):
+def make_mlp_rows_actor(net, packed: stepping.PackedTables,
+                        compute_dtype=None):
     """Seat-fused fast actor for depth-1 f32 MLPs: both seats' two towers as
     ONE matmul pair straight off the gathered packed rows.
+
+    ``compute_dtype=jnp.bfloat16`` feeds the two matmuls bfloat16 OPERANDS
+    with float32 accumulation: the kernels are cast once at ``prepare``
+    (outside the turn scan) and the gathered f32 row's cast fuses into the
+    MXU operand feed, so — unlike the generic-path bf16 probe of round 4,
+    which lost to conversion copies — there is no extra HBM traffic, and
+    the matmul runs at the doubled bf16 MXU rate.  The rollout is
+    PADDED-MATMUL-bound, not HBM-bound (tools/roofline.py round-5 model:
+    ~74-86%% of the tile-padded MXU wall vs ~15%% of wire), so this halves
+    the binding term.  Logits differ from the f32 path by bf16 rounding;
+    the stored behavior policy stays the exact policy the actor sampled
+    from, and the learner's v-trace is off-policy-correct by construction,
+    so training semantics are unchanged (opt-in:
+    ``RNaDConfig.rollout_actor_dtype``).
 
     The generic turn materializes two obs slices and a (2B, 2, A, A) seat
     concat before the net forward — pure HBM copies.  Here the packed row
@@ -200,14 +218,29 @@ def make_mlp_rows_actor(net, packed: stepping.PackedTables):
             f"from the generic actor path")
 
     A = packed.max_actions
+    if compute_dtype is not None and jnp.dtype(compute_dtype) not in (
+            jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        raise ValueError(f"rows-actor compute_dtype must be float32 or "
+                         f"bfloat16, got {jnp.dtype(compute_dtype).name}")
+    bf16 = (compute_dtype is not None
+            and jnp.dtype(compute_dtype) == jnp.dtype(jnp.bfloat16))
 
     def prepare(variables):
         W0, b0, W1, b1 = nets_lib.mlp_seat_fused_weights(
             variables["params"], A, packed.rows.shape[-1], packed.obs_width)
+        if bf16:
+            W0c, W1c = W0.astype(jnp.bfloat16), W1.astype(jnp.bfloat16)
+
+            def dot(x, w):
+                return jax.lax.dot(x.astype(jnp.bfloat16), w,
+                                   preferred_element_type=jnp.float32)
+        else:
+            W0c, W1c = W0, W1
+            dot = jnp.dot
 
         def apply(rows: jax.Array):
-            h = jax.nn.relu(jnp.dot(rows, W0) + b0)
-            out = jnp.dot(h, W1) + b1  # (B, 2*(A+1))
+            h = jax.nn.relu(dot(rows, W0c) + b0)
+            out = dot(h, W1c) + b1  # (B, 2*(A+1)) f32
             logits = jnp.stack([out[:, :A], out[:, A + 1:2 * A + 1]])
             value = jnp.stack([out[:, A], out[:, 2 * A + 1]])
             return logits, value
@@ -222,13 +255,14 @@ def rollout(tree: GameTree, actor_fn: ActorFn, variables, key: jax.Array,
             packed: stepping.PackedTables | None = None,
             store_obs: bool = False, obs_dtype=None,
             lane_chunks: int = 1, rows_actor=None,
-            policy_minor: bool = False) -> Trajectory:
+            policy_minor: bool = False, obs_transform=None) -> Trajectory:
     """Plays ``batch_size`` episodes to completion under the actor policy."""
     init = jnp.ones((batch_size,), jnp.int32)
     return rollout_from(tree, actor_fn, variables, key, init, num_turns,
                         packed, store_obs=store_obs, obs_dtype=obs_dtype,
                         lane_chunks=lane_chunks, rows_actor=rows_actor,
-                        policy_minor=policy_minor)
+                        policy_minor=policy_minor,
+                        obs_transform=obs_transform)
 
 
 def rollout_from(tree: GameTree, actor_fn: ActorFn, variables,
@@ -237,7 +271,8 @@ def rollout_from(tree: GameTree, actor_fn: ActorFn, variables,
                  packed: stepping.PackedTables | None = None,
                  store_obs: bool = False, obs_dtype=None,
                  lane_chunks: int = 1, rows_actor=None,
-                 policy_minor: bool = False) -> Trajectory:
+                 policy_minor: bool = False, obs_transform=None
+                 ) -> Trajectory:
     """Rollout starting from an explicit per-lane state vector.
 
     Passing the initial indices lets callers attach a sharding constraint to
@@ -265,7 +300,18 @@ def rollout_from(tree: GameTree, actor_fn: ActorFn, variables,
     a fast path that consumes the gathered packed rows directly, skipping
     the per-turn obs slice/concat copies; same math as the generic path up
     to matmul reduction order.
+
+    ``obs_transform`` (ops/obs_transform.py) maps each half-step's raw
+    (2, A, A) observation to the high-dimensional noisy view before the
+    actor forward, with fresh per-turn noise keys; stored observations are
+    the TRANSFORMED ones the actor saw (the learner must consume identical
+    bits, and per-step noise cannot be re-derived from state indices).
+    Mutually exclusive with ``rows_actor`` (which bypasses the obs slice).
     """
+    if obs_transform is not None and rows_actor is not None:
+        raise ValueError("obs_transform and rows_actor are mutually "
+                         "exclusive (the rows-actor consumes raw packed "
+                         "rows, bypassing the observation path)")
     if num_turns is None:
         num_turns = tree.max_depth
     if packed is None:
@@ -284,7 +330,7 @@ def rollout_from(tree: GameTree, actor_fn: ActorFn, variables,
             rollout_from, tree, actor_fn, variables,
             num_turns=num_turns, packed=packed, store_obs=store_obs,
             obs_dtype=obs_dtype, rows_actor=rows_actor,
-            policy_minor=policy_minor)
+            policy_minor=policy_minor, obs_transform=obs_transform)
         records = jax.lax.map(
             lambda args: sub(args[0], args[1]),
             (jax.random.split(key, lane_chunks),
@@ -318,7 +364,13 @@ def rollout_from(tree: GameTree, actor_fn: ActorFn, variables,
     # PERF_ANALYSIS.md), so the hardware-verified form must not be
     # perturbed even in mathematically-equivalent ways.
     def turn_fn(indices, key_t):
-        k_act, k_ch = jax.random.split(key_t)
+        if obs_transform is None:
+            k_act, k_ch = jax.random.split(key_t)
+            k_noise = None
+        else:
+            # 3-way split ONLY in transform mode: the verified no-transform
+            # program (and its episode stream) must stay byte-identical.
+            k_act, k_ch, k_noise = jax.random.split(key_t, 3)
         rows = stepping.lookup(packed, indices)
         if rows_apply is not None:
             logits2, value2 = rows_apply(rows)  # (2, B, A), (2, B)
@@ -334,6 +386,10 @@ def rollout_from(tree: GameTree, actor_fn: ActorFn, variables,
         else:
             row_obs, col_obs = stepping.slice_observations(packed, rows)
             obs2 = jnp.concatenate([row_obs, col_obs], axis=0)  # (2B,2,A,A)
+            if obs_transform is not None:
+                # fresh noise per half-step per lane; the actor and the
+                # stored record see the SAME transformed bits
+                obs2 = obs_transform(obs2, k_noise)
             logits, value = actor_fn(variables, obs2)
             row_mask, col_mask = stepping.slice_action_masks(packed, rows)
             legal = jnp.concatenate([row_mask, col_mask], axis=0)  # (2B, A)

@@ -36,6 +36,7 @@ from ..env import engine
 from ..env.tree import GameTree
 from ..metrics import nashconv as nashconv_lib
 from ..models import common, nets
+from ..ops import obs_transform as obs_transform_lib
 from ..ops import stepping
 from ..parallel.mesh import host_value
 from . import vtrace, vtrace_assoc
@@ -137,7 +138,9 @@ def init_train_state(net, key: jax.Array, max_actions: int,
                      init_variables: Optional[Any] = None) -> TrainState:
     k_init, k_run = jax.random.split(key)
     variables = (init_variables if init_variables is not None
-                 else nets.init_variables(net, k_init, max_actions))
+                 else nets.init_variables(
+                     net, k_init, max_actions,
+                     obs_transform_lib.out_channels(cfg.obs_transform)))
     tx = make_optimizer(cfg)
     opt_state = tx.init(variables["params"])
     copy = lambda: jax.tree.map(lambda x: x, variables)
@@ -218,23 +221,82 @@ def resolve_rows_actor(net, packed, cfg: RNaDConfig):
     mode = cfg.rollout_rows_actor
     if mode == "off":
         return None
+    if cfg.obs_transform.kind != "none":
+        # the rows-actor consumes raw packed rows, bypassing the
+        # observation path the transform lives on (env/engine.py)
+        if mode == "on":
+            raise ValueError(
+                "rollout_rows_actor='on' is incompatible with an active "
+                "obs_transform (the seat-fused packing bypasses the "
+                "observation path); use 'auto' or 'off'")
+        return None
+    dtype = jnp.dtype(cfg.rollout_actor_dtype)
     if mode == "on":
-        return engine.make_mlp_rows_actor(net, packed)
+        return engine.make_mlp_rows_actor(net, packed, compute_dtype=dtype)
     if mode != "auto":
         raise ValueError(f"unknown rollout_rows_actor mode {mode!r}")
     try:
-        return engine.make_mlp_rows_actor(net, packed)
+        return engine.make_mlp_rows_actor(net, packed, compute_dtype=dtype)
     except ValueError:
         return None
 
 
-def resolve_learner_layout(cfg: RNaDConfig, use_assoc: bool) -> bool:
+def resolve_obs_transform(net, tree: GameTree, cfg: RNaDConfig):
+    """Builds the observation transform (ops/obs_transform.py) and rejects
+    the configurations it cannot compose with, up front:
+
+    * ``store_rollout_obs=False`` (regather mode) — the learner re-derives
+      observations from state indices, but per-half-step NOISE is not a
+      function of the state; the learner must consume the exact bits the
+      actor saw, which only the stored-obs path carries.
+    * EquiNet with ``solver_iters > 0`` — its RM+ solver features read the
+      raw payoff matrix out of the observation, which the transform exists
+      to hide ("the net never sees the raw payoff matrix").
+    """
+    tf = obs_transform_lib.make_obs_transform(cfg.obs_transform,
+                                              tree.max_actions)
+    if tf is None:
+        return None
+    if not cfg.store_rollout_obs:
+        raise ValueError(
+            "obs_transform requires store_rollout_obs=True: per-half-step "
+            "noise cannot be re-derived from state indices in regather "
+            "mode, so the learner must consume the stored actor bits")
+    if isinstance(net, nets.EquiNet) and net.solver_iters:
+        raise ValueError(
+            "obs_transform hides the raw payoff matrix, but EquiNet with "
+            "solver_iters > 0 computes RM+ solver features from it; use "
+            "solver_iters=0 or another net family")
+    return tf
+
+
+def resolve_vtrace_assoc(cfg: RNaDConfig) -> bool:
+    """True = run the associative (parallel-in-time, time-shardable)
+    v-trace; False = the sequential reverse scan.
+
+    "auto" takes the scan: measured faster than the associative form at
+    every tested depth incl. T=36 on v5e (round 4, docs/PERF_ANALYSIS.md —
+    the assoc form's O(T log T) work loses to the scan's short
+    throughput-bound fused body on one chip).  "associative" remains the
+    explicit mode for time-axis sharding."""
+    mode = cfg.vtrace_mode
+    if mode not in ("scan", "associative", "auto"):
+        raise ValueError(f"unknown vtrace_mode {mode!r}; expected 'scan', "
+                         "'associative' or 'auto'")
+    return mode == "associative"
+
+
+def resolve_learner_layout(cfg: RNaDConfig, use_assoc: bool,
+                           max_actions: Optional[int] = None) -> bool:
     """True = run the v-trace/loss block in the batch-minor (T, A, B)
     layout (learn/vtrace.py's batch-minor section; bit-identical values).
 
     "auto" selects minor exactly where the tile padding it avoids is real:
-    on TPU backends.  The associative v-trace path keeps the reference
-    (T, B, A) layout (vtrace_assoc.py operates there), so assoc trumps."""
+    on TPU backends — and only for action spaces the batch-minor
+    ``process_policy_minor`` covers (its branchless pairwise discretizer
+    is O(A^2) and capped at A <= 16; wider trees take the (T, B, A)
+    path).  The associative v-trace path keeps the reference (T, B, A)
+    layout (vtrace_assoc.py operates there), so assoc trumps."""
     mode = cfg.learner_layout
     if mode not in ("bma", "amb", "auto"):
         raise ValueError(f"unknown learner_layout {mode!r}")
@@ -244,6 +306,13 @@ def resolve_learner_layout(cfg: RNaDConfig, use_assoc: bool) -> bool:
                 "learner_layout='amb' applies to the sequential-scan "
                 "v-trace only; vtrace_mode selected the associative path "
                 "at this trajectory length — use learner_layout='auto'")
+        return False
+    if max_actions is not None and max_actions > 16:
+        if mode == "amb":
+            raise ValueError(
+                "learner_layout='amb' requires max_actions <= 16 (the "
+                f"batch-minor policy discretizer's cap); this tree has "
+                f"max_actions={max_actions} — use learner_layout='auto'")
         return False
     if mode == "auto":
         return jax.default_backend() in ("tpu", "axon")
@@ -365,13 +434,8 @@ def learn_loss(learner_params, aux_collections, net, target_vars, reg_vars,
             values_target = values3[0]
             logits_reg2 = logits3[1:]
 
-    # Sequential scan unless explicitly told otherwise: measured faster
-    # than the associative form at every tested depth incl. T=36 on v5e
-    # (round 4, docs/PERF_ANALYSIS.md — the assoc form's O(T log T) work
-    # loses to the scan's short throughput-bound fused body on one chip).
-    # "associative" remains the explicit mode for time-axis sharding.
-    use_assoc = cfg.vtrace_mode == "associative"
-    minor = resolve_learner_layout(cfg, use_assoc)
+    use_assoc = resolve_vtrace_assoc(cfg)
+    minor = resolve_learner_layout(cfg, use_assoc, max_actions=A)
     sg = jax.lax.stop_gradient
     if minor:
         # Batch-minor layout: every (..., A)-trailing tensor that
@@ -522,29 +586,37 @@ def obs_storage_dtype(net, cfg: RNaDConfig):
 
 
 def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
-                  constrain_batch: Optional[Callable] = None):
+                  constrain_batch: Optional[Callable] = None,
+                  eval_mesh=None):
     """Builds the jitted step functions.
 
     ``constrain_batch`` optionally applies a sharding constraint to the
     per-lane state vector at rollout start (see parallel/), letting GSPMD
     shard the whole rollout + learner data over a device mesh.
+
+    ``eval_mesh``: a mesh makes large-tree NashConv evals run the
+    node-sharded backward induction (metrics/nashconv_shard.py) instead of
+    the single-device pass — for trees whose node-minor tables exceed one
+    chip's HBM (SURVEY §5 pod-scale NashConv).  Small trees keep the fused
+    single-program eval either way.
     """
     actor_fn = lambda variables, obs: nets.apply_eval(net, variables, obs)
     tx = make_optimizer(cfg)
     packed_tables = stepping.make_packed_tables(tree)
     obs_store_dtype = obs_storage_dtype(net, cfg)
     rows_actor = resolve_rows_actor(net, packed_tables, cfg)
+    obs_tf = resolve_obs_transform(net, tree, cfg)
     # The rollout's policy-record layout follows the learner layout (the
     # record is the learner's acting_policy input), but only on the
     # on-policy path: the replay buffer collates along lane axis 1 on
     # every field (learn/buffer.py), so buffered rollouts stay "bma".
-    use_assoc = cfg.vtrace_mode == "associative"
+    use_assoc = resolve_vtrace_assoc(cfg)
     logging.info("v-trace mode: %s (vtrace_mode=%s, T=%d)",
                  "associative" if use_assoc else "scan", cfg.vtrace_mode,
                  2 * tree.max_depth)
     on_policy = cfg.n_batches_per_buffer == 1 and cfg.buffer_mod == 1
-    policy_minor_record = (resolve_learner_layout(cfg, use_assoc)
-                           and on_policy)
+    policy_minor_record = (resolve_learner_layout(
+        cfg, use_assoc, max_actions=tree.max_actions) and on_policy)
 
     # tree/packed are threaded as explicit jit arguments (not closure
     # constants) so large game tables are runtime inputs, never baked into
@@ -560,7 +632,8 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
                                    store_obs=cfg.store_rollout_obs,
                                    obs_dtype=obs_store_dtype,
                                    rows_actor=rows_actor,
-                                   policy_minor=policy_minor_record)
+                                   policy_minor=policy_minor_record,
+                                   obs_transform=obs_tf)
         return state.replace(key=key), traj
 
     def learn_fn(packed, state: TrainState, traj: engine.Trajectory,
@@ -653,9 +726,17 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
     train_step.inner = _train_step
     train_step.tables = (tree, packed_tables)
 
+    # Exact evaluation under an active obs transform scores the policy the
+    # net induces on the NOISE-FREE lifted observation (the mean of the
+    # per-step observation distribution); the nashconv module itself keeps
+    # slicing legality from its raw observations.
+    eval_actor_fn = (actor_fn if obs_tf is None
+                     else (lambda variables, obs:
+                           actor_fn(variables, obs_tf(obs, None))))
+
     @functools.partial(jax.jit, static_argnames=("num_passes",))
     def _nashconv_jit(tree, variables, num_passes):
-        joint = nashconv_lib.joint_policy_all_nodes(tree, actor_fn,
+        joint = nashconv_lib.joint_policy_all_nodes(tree, eval_actor_fn,
                                                     variables)
         return nashconv_lib.nashconv_pure(tree, joint, num_passes,
                                           compute_reach=False)
@@ -675,8 +756,13 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
         # same backward induction.
         if tree.size > chunk_nodes:
             joint = nashconv_lib.joint_policy_from_net(
-                tree, actor_fn, variables,
+                tree, eval_actor_fn, variables,
                 inference_batch_size=chunk_nodes)
+            if eval_mesh is not None:
+                from ..metrics import nashconv_shard
+
+                return nashconv_shard.nashconv_sharded(tree, joint,
+                                                       eval_mesh)
             return nashconv_lib.nashconv_root(tree, joint)
         return _nashconv_jit(tree, variables, tree.max_depth)
 
@@ -820,6 +906,25 @@ class RNaD:
 
     # -- main loop ---------------------------------------------------------
 
+    def _seed_best_bar(self) -> None:
+        """Resume-safe best-checkpoint bar: a restarted run keeps
+        improving on the stored best instead of overwriting it with a
+        worse early eval.  Called from every path that can save_best."""
+        if hasattr(self, "_best_nashconv"):
+            return
+        meta = self.store.load_best_meta()
+        self._best_nashconv = (float(meta["nashconv"]) if meta
+                               else float("inf"))
+
+    def _maybe_save_best(self, value: float, step: int) -> None:
+        self._seed_best_bar()
+        if value < self._best_nashconv:
+            self._best_nashconv = value
+            self.store.save_best(self.state, {"nashconv": value,
+                                              "step": step,
+                                              "m": self.m, "n": self.n})
+            logging.info("new best nashconv %.6f at step %d", value, step)
+
     def final_eval(self) -> float:
         """One exact eval of the current EMA target, logged to the metric
         stream and folded into best-checkpoint selection.  The run loop
@@ -829,26 +934,14 @@ class RNaD:
         value = self.nashconv()
         step = int(host_value(self.state.total_steps))
         self.logger.log({"nashconv": value}, step)
-        if value < getattr(self, "_best_nashconv", float("inf")):
-            self._best_nashconv = value
-            self.store.save_best(self.state, {"nashconv": value,
-                                              "step": step,
-                                              "m": self.m, "n": self.n})
-            logging.info("new best nashconv %.6f at step %d", value, step)
+        self._maybe_save_best(value, step)
         return value
 
     def run(self, max_updates: int = 10**6, checkpoint_mod: int = 1000,
             expl_mod: int = 1, log_mod: int = 20) -> None:
         self.initialize()
         cfg = self.cfg
-        if not hasattr(self, "_best_nashconv"):
-            # resume-safe: a restarted run keeps improving on the stored
-            # best instead of overwriting it with a worse early eval
-            best_path = os.path.join(self.store.directory, "best.json")
-            self._best_nashconv = float("inf")
-            if os.path.exists(best_path):
-                with open(best_path) as f:
-                    self._best_nashconv = float(json.load(f)["nashconv"])
+        self._seed_best_bar()
         on_policy = cfg.n_batches_per_buffer == 1 and cfg.buffer_mod == 1
         buffer = TrajectoryBuffer(cfg.n_batches_per_buffer)
         import time as _time
@@ -871,14 +964,7 @@ class RNaD:
                 self.logger.log({"nashconv": value}, step)
                 # Model selection by the exact evaluator: keep the best
                 # EMA-target policy seen (see RunStore.save_best).
-                if value < self._best_nashconv:
-                    self._best_nashconv = value
-                    self.store.save_best(
-                        self.state,
-                        {"nashconv": value, "step": step,
-                         "m": self.m, "n": self.n})
-                    logging.info("new best nashconv %.6f at step %d",
-                                 value, step)
+                self._maybe_save_best(value, step)
 
             while self.n < delta_m:
                 alpha = alpha_schedule(self.n, delta_m)

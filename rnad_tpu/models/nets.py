@@ -55,8 +55,10 @@ class MLP(nn.Module):
                  ) -> Tuple[jax.Array, jax.Array]:
         del mask  # no batch statistics to protect
         A = self.max_actions
-        x = obs.reshape(obs.shape[:-3] + (2 * A * A,)).astype(self.dtype)
-        din = 2 * A * A
+        # channel count follows the observation (2 raw; more under an
+        # active obs_transform — ops/obs_transform.py)
+        din = obs.shape[-3] * A * A
+        x = obs.reshape(obs.shape[:-3] + (din,)).astype(self.dtype)
         dense = lambda feat, fan_in, name: nn.Dense(
             feat, name=name, dtype=self.dtype,
             kernel_init=common.torch_linear_kernel_init,
@@ -194,8 +196,9 @@ class ConvNet(nn.Module):
         lead = obs.shape[:-3]
         if mask is not None:
             mask = mask.reshape(-1)  # one weight per flattened sample
-        # (..., 2, A, A) -> (N, A, A, 2) NHWC
-        x = obs.reshape((-1, 2, A, A)).transpose(0, 2, 3, 1)
+        # (..., C, A, A) -> (N, A, A, C) NHWC (C = 2 raw, or the
+        # obs_transform's lifted channel count)
+        x = obs.reshape((-1,) + obs.shape[-3:]).transpose(0, 2, 3, 1)
         x = x.astype(self.dtype)
         x = CrossConv(A, self.channels, dtype=self.dtype, name="pre")(x)
         for i in range(self.depth):
@@ -337,9 +340,10 @@ class EquiNet(nn.Module):
         del train, mask  # no batch statistics to protect
         A = self.max_actions
         lead = obs.shape[:-3]
-        # (..., 2, A, A) -> (N, A, A, 2): rows = mover actions, cols =
-        # opponent actions, channels = [expected value, legality].
-        x = obs.reshape((-1, 2, A, A)).transpose(0, 2, 3, 1)
+        # (..., C, A, A) -> (N, A, A, C): rows = mover actions, cols =
+        # opponent actions, channels = [expected value, legality] raw
+        # (C=2) or the obs_transform's lifted views.
+        x = obs.reshape((-1,) + obs.shape[-3:]).transpose(0, 2, 3, 1)
         prime_logits = prime_value = None
         if self.solver_iters:
             # The RM+ solve is a pure (gradient-free) function of the
@@ -570,8 +574,13 @@ def inference_chunk_nodes(net: nn.Module, max_actions: int,
     return max(1024, min(cap, int(budget_bytes // per_node)))
 
 
-def init_variables(net: nn.Module, key: jax.Array, max_actions: int) -> Dict:
-    obs = jnp.zeros((1, 2, max_actions, max_actions), jnp.float32)
+def init_variables(net: nn.Module, key: jax.Array, max_actions: int,
+                   in_channels: int = 2) -> Dict:
+    """``in_channels``: observation channel count — 2 for the raw reference
+    observation, ``obs_transform.out_channels(cfg)`` under an active
+    observation transform (every family infers its input width from the
+    init example)."""
+    obs = jnp.zeros((1, in_channels, max_actions, max_actions), jnp.float32)
     return net.init(key, obs)
 
 

@@ -124,6 +124,7 @@ def make_shard_map_train_step(net, tree: GameTree, cfg: RNaDConfig,
         raise ValueError("batch_size must divide the data axis")
     local_batch = cfg.batch_size // n_data
     actor_fn = lambda variables, obs: nets.apply_eval(net, variables, obs)
+    obs_tf = rnad_lib.resolve_obs_transform(net, tree, cfg)
     tx = rnad_lib.make_optimizer(cfg)
 
     def per_shard(tree, packed, state: rnad_lib.TrainState,
@@ -138,7 +139,8 @@ def make_shard_map_train_step(net, tree: GameTree, cfg: RNaDConfig,
                                    init, tree.max_depth, packed,
                                    store_obs=cfg.store_rollout_obs,
                                    obs_dtype=rnad_lib.obs_storage_dtype(
-                                       net, cfg))
+                                       net, cfg),
+                                   obs_transform=obs_tf)
         # Materialization point between rollout and learner — mirrors the
         # verified program shape of make_rnad_fns._train_step (XLA:TPU
         # miscompiled other shapes of the large fused program; see the

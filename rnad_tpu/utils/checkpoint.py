@@ -24,6 +24,9 @@ from flax import serialization
 
 from ..env import tree as tree_lib
 
+# best.ckpt container format marker (see RunStore.save_best).
+_BEST_MAGIC = b"RNADBEST1\n"
+
 
 def _default_root(sub: str) -> str:
     return os.path.join(os.getcwd(), sub)
@@ -191,7 +194,13 @@ class RunStore:
         the served policy is the curve's minimum even when constant-lr
         self-play later erodes it (the U-shaped dynamic of docs/SCALE.md).
         Separate from the (m, n) resume chain: ``latest()`` never returns
-        it, so crash-resume semantics are unchanged."""
+        it, so crash-resume semantics are unchanged.
+
+        The meta rides inside best.ckpt (magic header + length-prefixed
+        JSON + msgpack state) so the (state, meta) pair is published by
+        ONE os.replace — a crash can never leave a new checkpoint paired
+        with a stale eval.  best.json is a human-readable mirror only;
+        ``load_best`` never reads it."""
         import jax
 
         path = os.path.join(self.directory, "best.ckpt")
@@ -199,10 +208,13 @@ class RunStore:
         if jax.process_index() != 0:
             return path
         os.makedirs(self.directory, exist_ok=True)
-        data = serialization.to_bytes(state)
+        meta_b = json.dumps(meta, sort_keys=True).encode()
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
-            f.write(data)
+            f.write(_BEST_MAGIC)
+            f.write(len(meta_b).to_bytes(8, "little"))
+            f.write(meta_b)
+            f.write(serialization.to_bytes(state))
         os.replace(tmp, path)
         with open(path + ".tmp.json", "w") as f:
             json.dump(meta, f, indent=2, sort_keys=True)
@@ -210,15 +222,42 @@ class RunStore:
                    os.path.join(self.directory, "best.json"))
         return path
 
+    def load_best_meta(self) -> Optional[dict]:
+        """The meta dict of the stored best checkpoint, or None.
+
+        Reads only the embedded header of best.ckpt (authoritative —
+        best.json may lag it by one crash window); falls back to
+        best.json for the legacy two-file layout."""
+        path = os.path.join(self.directory, "best.ckpt")
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            head = f.read(len(_BEST_MAGIC) + 8)
+            if head.startswith(_BEST_MAGIC):
+                n = int.from_bytes(head[len(_BEST_MAGIC):], "little")
+                return json.loads(f.read(n))
+        legacy = os.path.join(self.directory, "best.json")
+        if not os.path.exists(legacy):
+            return None
+        with open(legacy) as f:
+            return json.load(f)
+
     def load_best(self, template):
         """(state, meta) of the best-evaluated checkpoint, or None."""
         path = os.path.join(self.directory, "best.ckpt")
         if not os.path.exists(path):
             return None
         with open(path, "rb") as f:
-            state = serialization.from_bytes(template, f.read())
+            blob = f.read()
+        if blob.startswith(_BEST_MAGIC):
+            off = len(_BEST_MAGIC)
+            n = int.from_bytes(blob[off:off + 8], "little")
+            meta = json.loads(blob[off + 8:off + 8 + n])
+            return serialization.from_bytes(template, blob[off + 8 + n:]), \
+                meta
+        # Legacy layout: bare msgpack state + sibling best.json.
         with open(os.path.join(self.directory, "best.json")) as f:
-            return state, json.load(f)
+            return serialization.from_bytes(template, blob), json.load(f)
 
     def latest(self) -> Optional[Tuple[int, int]]:
         """Max (m, n) with a saved checkpoint, resume semantics of

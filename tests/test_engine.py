@@ -326,3 +326,48 @@ def test_policy_minor_lane_chunked_and_rows_actor(small_tree):
         for field in ("indices", "actions", "rewards", "values"):
             assert bool((getattr(pmin, field)
                          == getattr(base, field)).all()), (chunks, field)
+
+
+def test_rows_actor_bf16_operands(small_tree):
+    """The bf16-operand rows-actor (RNaDConfig.rollout_actor_dtype):
+    logits equal the f32 path to bf16 rounding, the rolled trajectory is
+    structurally valid, the stored policy is normalized over legal
+    actions, and a default train step under the mode stays finite."""
+    import jax.numpy as jnp
+
+    from rnad_tpu.config import NetConfig, RNaDConfig
+    from rnad_tpu.learn import rnad as rnad_lib
+    from rnad_tpu.models import nets
+    from rnad_tpu.ops import stepping
+
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=32))
+    packed = stepping.make_packed_tables(small_tree)
+    variables = nets.init_variables(net, jax.random.PRNGKey(0), 3)
+    rows = stepping.lookup(packed, jnp.arange(1, 33, dtype=jnp.int32))
+
+    apply_f32 = engine.make_mlp_rows_actor(net, packed)(variables)
+    apply_bf16 = engine.make_mlp_rows_actor(
+        net, packed, compute_dtype=jnp.bfloat16)(variables)
+    lg32, v32 = apply_f32(rows)
+    lg16, v16 = apply_bf16(rows)
+    assert lg16.dtype == jnp.float32  # f32 accumulation/outputs
+    np.testing.assert_allclose(np.asarray(lg16), np.asarray(lg32),
+                               atol=0.05, rtol=0.02)
+    np.testing.assert_allclose(np.asarray(v16), np.asarray(v32), atol=0.05)
+
+    cfg = RNaDConfig(batch_size=64, eta=0.2, bounds=(1,), delta_m=(2,),
+                     lr=1e-3, gamma_averaging=0.01, logit_clip=2.0,
+                     rollout_actor_dtype="bfloat16")
+    train_step, rollout_jit, _, _ = rnad_lib.make_rnad_fns(
+        net, small_tree, cfg)
+    state = rnad_lib.init_train_state(net, jax.random.PRNGKey(0), 3, cfg)
+    _, traj = rollout_jit(state)
+    pol = np.asarray(traj.policy_bma())
+    valid = np.asarray(traj.valid()) > 0
+    np.testing.assert_allclose(pol[valid].sum(-1), 1.0, atol=1e-5)
+    state, metrics = train_step(state, jnp.float32(0.5))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+
+    with pytest.raises(ValueError, match="compute_dtype"):
+        engine.make_mlp_rows_actor(net, packed, compute_dtype=jnp.float16)
