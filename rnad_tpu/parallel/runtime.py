@@ -67,7 +67,8 @@ def make_sharded_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
             f"batch_size {cfg.batch_size} must divide over "
             f"{mesh.shape[mesh_lib.DATA_AXIS]} data-parallel devices")
     constrain = mesh_lib.batch_constrainer(mesh)
-    fns = rnad_lib.make_rnad_fns(net, tree, cfg, constrain_batch=constrain)
+    fns = rnad_lib.make_rnad_fns(net, tree, cfg, constrain_batch=constrain,
+                                 eval_mesh=mesh)
 
     def place_state(state: rnad_lib.TrainState) -> rnad_lib.TrainState:
         if not model_parallel_mlp:

@@ -303,3 +303,69 @@ def test_shard_map_explicit_collectives(small_tree):
     assert int(state.total_steps) == 2
     kern = state.variables["params"]["policy_fc1"]["kernel"]
     assert np.isfinite(np.asarray(kern)).all()
+
+
+def test_nashconv_sharded_matches_single_device(small_tree):
+    """Mesh-sharded backward induction (metrics/nashconv_shard.py) ==
+    the single-device pass, node axis over the 8-virtual-device data axis:
+    per-node best-response values for a net policy, and NashConv 0 for the
+    stored exact solution."""
+    from rnad_tpu.metrics import nashconv as nc
+    from rnad_tpu.metrics import nashconv_shard
+
+    mesh = mesh_lib.make_mesh()
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16))
+    variables = nets.init_variables(net, jax.random.PRNGKey(2), 3)
+    apply_fn = lambda v, obs: nets.apply_eval(net, v, obs)
+    joint = nc.joint_policy_all_nodes(small_tree, apply_fn, variables)
+
+    ref = nc.nashconv_root(small_tree, joint)
+    got = nashconv_shard.nashconv_sharded(small_tree, joint, mesh)
+    np.testing.assert_allclose(np.asarray(got.row_best),
+                               np.asarray(ref.row_best), rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.col_best),
+                               np.asarray(ref.col_best), rtol=1e-6,
+                               atol=1e-6)
+
+    sol = nashconv_shard.nashconv_sharded(small_tree, small_tree.solution,
+                                          mesh)
+    assert abs(float(sol.nashconv())) < 1e-5
+
+
+def test_nashconv_sharded_large_tree():
+    """The sharded induction at production node count: NashConv 0 for the
+    785k-node tree's stored exact solution (the pad-node guard is
+    exercised by the 125-node test above, 125 % 8 != 0)."""
+    from rnad_tpu.config import ShapingRule, TreeConfig
+    from rnad_tpu.env import tree as tree_lib
+    from rnad_tpu.metrics import nashconv as nc
+    from rnad_tpu.metrics import nashconv_shard
+
+    cfg_tree = TreeConfig(
+        max_actions=5, max_transitions=2, transition_threshold=0.25,
+        depth_bound=6,
+        depth_bound_rule=ShapingRule(delta=-1, stochastic_delta=-2,
+                                     stochastic_prob=0.55))
+    try:
+        tree = tree_lib.generate_tree_native(cfg_tree, seed=0)
+    except RuntimeError:
+        tree = tree_lib.generate_tree(cfg_tree, seed=0)
+
+    mesh = mesh_lib.make_mesh()
+    got = nashconv_shard.nashconv_sharded(tree, tree.solution, mesh)
+    assert abs(float(got.nashconv())) < 1e-4
+
+
+def test_trainer_hook_sharded_nashconv(small_tree):
+    """make_sharded_rnad_fns' NashConv hook takes the node-sharded
+    induction above the chunk threshold and matches the unsharded eval."""
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16))
+    cfg = RNaDConfig(batch_size=64, nashconv_chunk_nodes=16)
+    state = rnad_lib.init_train_state(net, jax.random.PRNGKey(0), 3, cfg)
+    *_, nc_plain = rnad_lib.make_rnad_fns(net, small_tree, cfg)
+    (_, _, _, nc_sharded), mesh, _ = runtime.make_sharded_rnad_fns(
+        net, small_tree, cfg)
+    a = float(nc_plain(state.variables).nashconv())
+    b = float(nc_sharded(state.variables).nashconv())
+    np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-6)
