@@ -71,6 +71,13 @@ def main():
                         help="also bench the fully-fused Pallas rollout "
                              "turn (ops/pallas_turn.py; MLP + VMEM-table "
                              "trees only)")
+    parser.add_argument("--actor-dtype", choices=["float32", "bfloat16"],
+                        default="float32",
+                        help="operand dtype of the rollout rows-actor "
+                             "matmuls (bfloat16 halves the padded-MXU "
+                             "wall the rollout is bound by; f32 "
+                             "accumulation — see RNaDConfig."
+                             "rollout_actor_dtype)")
     parser.add_argument("--max-lanes-per-chunk", type=int, default=1 << 17,
                         help="rollout batches above this run lane-chunked "
                              "(engine lane_chunks): above ~131k lanes per "
@@ -170,8 +177,9 @@ def main():
         # engine.make_mlp_rows_actor); lane-chunking above the scoped-memory
         # boundary (both a 35%+ regression AND a reward-sum miscompile were
         # measured in the one-program form at 262k — docs/PERF_ANALYSIS.md).
-        rows_actor = (engine.make_mlp_rows_actor(net, packed)
-                      if args.net == "mlp" else None)
+        rows_actor = (engine.make_mlp_rows_actor(
+            net, packed, compute_dtype=jnp.dtype(args.actor_dtype))
+            if args.net == "mlp" else None)
         # Smallest divisor of B with chunks <= max lanes each: ceil division
         # alone can produce a chunk count that does not divide a
         # non-power-of-two B, which rollout_from rejects.
@@ -211,9 +219,13 @@ def main():
         assert abs(mean_return) <= 1.0, \
             f"miscompiled rollout program: mean return {mean_return}"
         rmodel = (roofline.rollout_model(A, tree.max_transitions,
-                                         tree.max_depth, B, net.width)
+                                         tree.max_depth, B, net.width,
+                                         rows_actor=rows_actor is not None)
                   if model_roofline else None)
-        extra = roofline.annotate(rmodel, dt) if model_roofline else {}
+        extra = (roofline.annotate(rmodel, dt, dtype=args.actor_dtype)
+                 if model_roofline else {})
+        if args.actor_dtype != "float32":
+            extra["actor_dtype"] = args.actor_dtype
         if lane_chunks > 1:
             extra["lane_chunks"] = lane_chunks
         emit("rollout_env_steps_per_s", T * B / dt, "steps/s", batch=B,
@@ -245,9 +257,12 @@ def main():
         train_iters = max(4, min(1000, (1 << 23) // B))
 
         def bench_train(compute_dtype, suffix, dtype_label):
+            # the training rollout's rows-actor is f32-only (auto resolves
+            # off for bf16 compute — engine.make_mlp_rows_actor)
             tmodel = (roofline.train_model(
                 A, tree.max_transitions, tree.max_depth, B, net.width,
-                act_elt_bytes=2 if dtype_label == "bfloat16" else 4)
+                act_elt_bytes=2 if dtype_label == "bfloat16" else 4,
+                rows_actor=dtype_label != "bfloat16")
                 if model_roofline else None)
             cfg = RNaDConfig(batch_size=B, eta=0.2, bounds=(1,),
                              delta_m=(1,), lr=1e-3, gamma_averaging=0.01,
@@ -390,22 +405,29 @@ def main():
         with open("docs/PERF.md", "w") as f:
             f.write(f"# Performance ({dev.device_kind}, 1 chip)\n\n"
                     "Generated by tools/bench_suite.py.  `%roof` is the "
-                    "analytic speed-of-light bound of tools/roofline.py "
-                    "(max of HBM-bytes time and MXU-FLOPs time for the "
-                    "unavoidable work) divided by the measured time; "
-                    "`bound` names the binding side.  The model charges "
-                    "*ideal* MXU FLOPs; with the default net shape (K=18 "
-                    "against the 128-wide MXU) the achievable matmul rate "
-                    "is ~40% of peak, so the practical roof is several "
-                    "times closer than the ideal column suggests.  "
+                    "analytic ACHIEVABLE speed-of-light bound of "
+                    "tools/roofline.py — max of HBM-bytes time and "
+                    "tile-padded MXU time (each matmul charged at "
+                    "`2*M*ceil(K,128)*ceil(N,128)`: the real rate of the "
+                    "128x128 systolic array on these small-K/N net "
+                    "shapes) for the unavoidable work — divided by the "
+                    "measured time; `bound` names the binding side "
+                    "(`mxu-pad` = padded-matmul wall) and `%hbm` isolates "
+                    "the byte budget as a fraction of wire speed.  The "
+                    "padded-MXU charge carries tile-granularity "
+                    "assumptions (which dots XLA pads vs lowers to the "
+                    "VPU), so `%roof` is a ~±10% estimate — a small-batch "
+                    "row can read near or just above 100; `%hbm` is a "
+                    "hard bound.  "
                     "Per-phase trace attribution and the large-batch "
                     "scaling analysis live in docs/PERF_ANALYSIS.md.  "
                     "`train_steps_per_s` is the reference-bit-exact f32 "
                     "mode; `_bf16` is the TPU-native bfloat16 compute "
                     "mode (net + frozen passes bf16, gradients/optimizer "
                     "f32).\n\n"
-                    "| metric | batch | value | unit | %roof | bound |\n"
-                    "|---|---|---|---|---|---|\n")
+                    "| metric | batch | value | unit | %roof | %hbm "
+                    "| bound |\n"
+                    "|---|---|---|---|---|---|---|\n")
             for r in rows:
                 if "metric" not in r:
                     continue  # informational notes (e.g. scan fallback)
@@ -418,6 +440,7 @@ def main():
                 f.write(f"| {name} | {r.get('batch', '-')} "
                         f"| {r['value']:,} | {r['unit']} "
                         f"| {r.get('pct_of_roof', '-')} "
+                        f"| {r.get('pct_of_hbm', '-')} "
                         f"| {r.get('bound', '-')} |\n")
             if any(r.get("method") == "per-step" for r in rows):
                 f.write("\n`*` scan-of-steps self-check failed for this "
