@@ -107,6 +107,12 @@ def main():
                         "is the RM+ solve, training learns the correction")
     p.add_argument("--compute-dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--reg-anchor", default=None,
+                   choices=["target", "best"],
+                   help="regularization rotation at update boundaries: "
+                        "'target' = reference rotation; 'best' = anchor "
+                        "pi_reg to the best checkpoint's target whenever "
+                        "the boundary eval worsened (RNaDConfig.reg_anchor)")
     p.add_argument("--obs-lift", type=int, default=None, metavar="C",
                    help="enable the high-dimensional noisy observation "
                         "transform with C lifted channels (the reference's "
@@ -202,7 +208,8 @@ def main():
             frozen_net_dtype=args.frozen_dtype,
             learner_layout=args.learner_layout,
             flat_optimizer=args.flat_optimizer,
-            vtrace_mode=args.vtrace_mode).items() if v is not None}
+            vtrace_mode=args.vtrace_mode,
+            reg_anchor=args.reg_anchor).items() if v is not None}
         cfg = RNaDConfig(batch_size=args.batch_size, eta=args.eta,
                          **buffer_kw, **override_kw)
 

@@ -317,6 +317,21 @@ class RNaDConfig:
     # when every param/variable leaf is float32 (raveling mixed dtypes
     # would promote); non-f32 states fall back to the pytree path.
     flat_optimizer: bool = False
+    # Regularization-anchor policy at update (m) boundaries (framework
+    # extension; the reference always rotates reg <- target,
+    # rnad.py:528-531 — "target" reproduces it exactly):
+    #   "target" — pi_reg_prev <- pi_reg; pi_reg <- EMA target.
+    #   "best"   — same, EXCEPT when the boundary eval is worse than the
+    #              best eval seen: then pi_reg <- the best checkpoint's
+    #              EMA target instead, so the R-NaD reward transform
+    #              anchors the next period to the best policy rather than
+    #              to the drifted one.  Motivation (docs/SCALE.md): at
+    #              production scale successive rotations compound per-
+    #              period tracking error into upward NashConv drift;
+    #              anchoring to best makes the fixed-point iteration
+    #              contract toward the measured optimum.  Requires in-loop
+    #              evals (expl_mod > 0).
+    reg_anchor: str = "target"
     # Observation transform between the environment and every net input
     # (rollout actor, learner, exact eval): "none" reproduces the reference
     # observation; "lift" is the high-dimensional noisy transform the

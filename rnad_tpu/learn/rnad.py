@@ -918,12 +918,32 @@ class RNaD:
 
     def _maybe_save_best(self, value: float, step: int) -> None:
         self._seed_best_bar()
+        self._last_nashconv = value
         if value < self._best_nashconv:
             self._best_nashconv = value
+            self._best_target = self.state.variables_target
             self.store.save_best(self.state, {"nashconv": value,
                                               "step": step,
                                               "m": self.m, "n": self.n})
             logging.info("new best nashconv %.6f at step %d", value, step)
+
+    def _rotate_for_schedule(self) -> None:
+        """Update-boundary regularization rotation, honoring
+        ``cfg.reg_anchor`` (see RNaDConfig; "target" is the reference
+        rotation, reference rnad.py:528-531)."""
+        if (self.cfg.reg_anchor == "best"
+                and getattr(self, "_best_target", None) is not None
+                and getattr(self, "_last_nashconv", float("inf"))
+                > self._best_nashconv):
+            logging.info(
+                "reg_anchor=best: eval %.6f worse than best %.6f — "
+                "anchoring pi_reg to the best checkpoint's target",
+                self._last_nashconv, self._best_nashconv)
+            self.state = self.state.replace(
+                variables_reg_=self.state.variables_reg,
+                variables_reg=self._best_target)
+        else:
+            self.state = rotate_regularization_nets(self.state)
 
     def final_eval(self) -> float:
         """One exact eval of the current EMA target, logged to the metric
@@ -942,6 +962,13 @@ class RNaD:
         self.initialize()
         cfg = self.cfg
         self._seed_best_bar()
+        if cfg.reg_anchor not in ("target", "best"):
+            raise ValueError(f"unknown reg_anchor {cfg.reg_anchor!r}; "
+                             "expected 'target' or 'best'")
+        if cfg.reg_anchor == "best" and not hasattr(self, "_best_target"):
+            loaded = self.store.load_best(self.state)  # resume-safe anchor
+            if loaded is not None:
+                self._best_target = loaded[0].variables_target
         on_policy = cfg.n_batches_per_buffer == 1 and cfg.buffer_mod == 1
         buffer = TrajectoryBuffer(cfg.n_batches_per_buffer)
         import time as _time
@@ -1008,4 +1035,4 @@ class RNaD:
 
             self.n = 0
             self.m += 1
-            self.state = rotate_regularization_nets(self.state)
+            self._rotate_for_schedule()

@@ -759,3 +759,52 @@ def test_best_ckpt_atomic_container(tmp_path, small_tree):
         lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
         legacy_state.variables, state.variables)
     assert jax.tree.all(same)
+
+
+def test_reg_anchor_best_rotation(tmp_path, small_tree):
+    """cfg.reg_anchor='best': at an update boundary whose eval is worse
+    than the stored best, pi_reg rotates to the BEST checkpoint's EMA
+    target (and pi_reg_prev to the old pi_reg) instead of the current
+    target; with a better-or-equal eval the reference rotation applies."""
+    cfg = small_cfg(bounds=(3,), delta_m=(2,), reg_anchor="best")
+    ncfg = NetConfig(type="MLP", max_actions=3, width=16)
+    t = rnad_lib.RNaD(small_tree, cfg, ncfg, directory_name="anchor",
+                      runs_root=str(tmp_path), seed=0)
+    t.initialize()
+    # plant a sentinel best target and an unbeatable best bar, so the next
+    # boundary eval is guaranteed "worse"
+    sentinel = jax.tree.map(lambda x: jnp.full_like(x, 7.0),
+                            t.state.variables_target)
+    t._best_nashconv = -1.0
+    t._best_target = sentinel
+    t._last_nashconv = 1.0
+    old_reg = t.state.variables_reg
+    t._rotate_for_schedule()
+    same = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        t.state.variables_reg, sentinel)
+    assert jax.tree.all(same)
+    same_prev = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        t.state.variables_reg_, old_reg)
+    assert jax.tree.all(same_prev)
+
+    # improving eval -> the reference rotation (reg <- current target)
+    t._last_nashconv = -2.0
+    t._rotate_for_schedule()
+    same_t = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        t.state.variables_reg, t.state.variables_target)
+    assert jax.tree.all(same_t)
+
+    # end-to-end: a short run under the mode stays finite and stores a best
+    t2 = rnad_lib.RNaD(small_tree, cfg, ncfg, directory_name="anchor2",
+                       runs_root=str(tmp_path), seed=0)
+    t2.run(max_updates=3, checkpoint_mod=10**9, expl_mod=1, log_mod=10**9)
+    assert t2.store.load_best_meta() is not None
+
+    with pytest.raises(ValueError, match="reg_anchor"):
+        t3 = rnad_lib.RNaD(small_tree, small_cfg(reg_anchor="bets"), ncfg,
+                           directory_name="anchor3", runs_root=str(tmp_path),
+                           seed=0)
+        t3.run(max_updates=1)
