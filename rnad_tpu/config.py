@@ -83,6 +83,11 @@ class TreeConfig:
     #              reference COMMENT's stated intent, "favor mixed over
     #              pure"; costs one small LP per support atom on the
     #              degenerate nodes)
+    #   "enummixed" — the reference pipeline end to end: enumerate ALL
+    #              extreme equilibria per degenerate node
+    #              (env/solver.py::enumerate_equilibria, pygambit's
+    #              enummixed_solve equivalent), purity-sort, store the
+    #              first — the reference's stored pick semantics
     equilibrium_selection: str = "vertex"
     desc: str = ""
 

@@ -26,7 +26,11 @@ solved game (``refine_equilibrium_batch`` /
     reference code does on games that have one);
   * ``"mixed"`` — store the maximal-support point of the optimal face (what
     the reference comment says it wants), via one small LP per candidate
-    support atom on the (prefiltered) degenerate nodes.
+    support atom on the (prefiltered) degenerate nodes;
+  * ``"enummixed"`` — the reference pipeline reproduced end to end:
+    enumerate ALL extreme equilibria (``enumerate_equilibria`` — for
+    zero-sum games ext(X*) x ext(Y*) by direct vertex enumeration,
+    replacing pygambit's enummixed_solve), purity-sort, store the first.
 
 Every selection is an exact equilibrium of the same game value
 (exchangeability), so everything derived from the solution — oracle
@@ -214,6 +218,100 @@ def _max_support_side(M: np.ndarray, v: float, x0: np.ndarray,
     return out / out.sum()
 
 
+def _optimal_vertices(M: np.ndarray, v: float, is_row: bool,
+                      tol: float = 1e-8) -> list:
+    """All extreme points of one player's optimal polytope.
+
+    The row player's optimal set is X* = {x in the simplex : (x^T M)_j >=
+    v for every column j}; a vertex of X* lies on the sum-to-one
+    hyperplane with n-1 further constraints tight (from the nonnegativity
+    and payoff rows), so for the small action counts of these games every
+    (n-1)-subset is solved directly and feasibility-checked.  O(C(r+c,
+    n-1)) tiny linear solves — the sizes pygambit's enummixed handles on
+    the reference's trees (A <= 5) give a few hundred solves per node.
+    """
+    import itertools
+
+    if is_row:
+        n = M.shape[0]
+        G = np.concatenate([-M.T, -np.eye(n)], axis=0)
+        h = np.concatenate([-np.full(M.shape[1], v), np.zeros(n)])
+    else:
+        n = M.shape[1]
+        G = np.concatenate([M, -np.eye(n)], axis=0)
+        h = np.concatenate([np.full(M.shape[0], v), np.zeros(n)])
+    if n == 1:
+        return [np.ones(1)]
+    verts, seen = [], set()
+    for combo in itertools.combinations(range(G.shape[0]), n - 1):
+        A_eq = np.vstack([np.ones((1, n)), G[list(combo)]])
+        b_eq = np.concatenate([[1.0], h[list(combo)]])
+        try:
+            z = np.linalg.solve(A_eq, b_eq)
+        except np.linalg.LinAlgError:
+            continue
+        if z.min() < -1e3 or not np.isfinite(z).all():
+            continue
+        if (G @ z <= h + tol).all() and z.min() >= -tol:
+            z = np.clip(z, 0.0, None)
+            z /= z.sum()
+            key = tuple(np.round(z, 8))
+            if key not in seen:
+                seen.add(key)
+                verts.append(z)
+    return verts
+
+
+def enumerate_equilibria(payoff: np.ndarray, rows: int | None = None,
+                         cols: int | None = None, tol: float = 1e-8):
+    """ALL extreme Nash equilibria of one zero-sum matrix game.
+
+    The reference relies on pygambit's ``enummixed_solve`` for this
+    (reference environment/tree.py:211-224) and picks from the sorted
+    list.  For zero-sum games the equilibrium set is the product X* x Y*
+    of the two players' optimal polytopes (exchangeability), so the
+    extreme equilibria are ext(X*) x ext(Y*) — enumerated here by direct
+    vertex enumeration, no Lemke-Howson needed.
+
+    Returns ``(xs, ys, v)``: the lists of extreme optimal strategies of
+    each player (every pairing is an exact equilibrium of value ``v``),
+    each list sorted lexicographically for a deterministic order.
+    """
+    M = np.asarray(payoff, dtype=np.float64)
+    r = rows if rows is not None else M.shape[0]
+    c = cols if cols is not None else M.shape[1]
+    M = M[:r, :c]
+    x, y, v = _solve_one_numpy(M, r, c)
+    xs = _optimal_vertices(M, v, True, tol)
+    ys = _optimal_vertices(M, v, False, tol)
+    if not xs:
+        xs = [x]
+    if not ys:
+        ys = [y]
+    order = lambda vs: sorted(vs, key=lambda z: tuple(np.round(z, 9)))
+    return order(xs), order(ys), v
+
+
+def _enummixed_pick(M: np.ndarray, v: float, x0: np.ndarray,
+                    y0: np.ndarray, tol: float):
+    """The reference's stored pick, reproduced over the full enumeration:
+    sort the equilibrium list by the purity score ``-(x is pure) - (y is
+    pure)`` (ascending — purest first: reference tree.py:226-234's sort)
+    and store the first.  Ties break lexicographically (pygambit's own
+    list order is not reproducible without pygambit; within a purity
+    class every choice is an exact equilibrium of the same value)."""
+    xs, ys, _ = enumerate_equilibria(M, tol=max(tol, 1e-9))
+    pure = lambda z: float(z.max() > 1.0 - 1e-9)
+    best = None
+    for x in xs:
+        for y in ys:
+            score = (-pure(x) - pure(y), tuple(np.round(x, 9)),
+                     tuple(np.round(y, 9)))
+            if best is None or score < best[0]:
+                best = (score, x, y)
+    return best[1], best[2]
+
+
 def refine_equilibrium_batch(payoff: np.ndarray, rows: np.ndarray,
                              cols: np.ndarray, x: np.ndarray, y: np.ndarray,
                              values: np.ndarray, mode: str,
@@ -231,11 +329,15 @@ def refine_equilibrium_batch(payoff: np.ndarray, rows: np.ndarray,
         the vertex's support (complementary slackness: any optimal x has
         support inside the tight set {i : (M y*)_i = v}), replace the vertex
         with the maximal-support face point (``_max_support_side``).
+      * ``"enummixed"`` — the reference pipeline end to end: enumerate ALL
+        extreme equilibria (``enumerate_equilibria``, replacing pygambit's
+        enummixed_solve) on the degeneracy-flagged nodes, sort by the
+        reference's purity score and store the first (``_enummixed_pick``).
 
     Every output is an optimal strategy of the same game (value unchanged);
     only which equilibrium is stored changes.
     """
-    if mode not in ("pure", "mixed"):
+    if mode not in ("pure", "mixed", "enummixed"):
         raise ValueError(f"unknown equilibrium selection mode {mode!r}")
     payoff = np.asarray(payoff, dtype=np.float64)
     S, max_r, max_c = payoff.shape
@@ -262,8 +364,9 @@ def refine_equilibrium_batch(payoff: np.ndarray, rows: np.ndarray,
         y[saddle] = np.eye(max_c)[pick_c[saddle]]
         return x, y
 
-    # mixed: prefilter — the face extends beyond the vertex only if the
-    # tight set is strictly larger than the vertex support on either side.
+    # mixed/enummixed: prefilter — the face extends beyond the vertex only
+    # if the tight set is strictly larger than the vertex support on
+    # either side.
     payoff_masked = payoff * col_active[:, None, :]
     My = np.einsum("src,sc->sr", payoff_masked, y)
     xM = np.einsum("sr,src->sc", x, payoff * row_active[:, :, None])
@@ -275,6 +378,11 @@ def refine_equilibrium_batch(payoff: np.ndarray, rows: np.ndarray,
     for s in flagged:
         r, c = int(rows[s]), int(cols[s])
         M = payoff[s, :r, :c]
+        if mode == "enummixed":
+            xs, ys = _enummixed_pick(M, values[s], x[s, :r], y[s, :c], tol)
+            x[s, :r], x[s, r:] = xs, 0.0
+            y[s, :c], y[s, c:] = ys, 0.0
+            continue
         if grow_r[s]:
             x[s, :r] = _max_support_side(M, values[s], x[s, :r], True, tol)
             x[s, r:] = 0.0
@@ -282,8 +390,8 @@ def refine_equilibrium_batch(payoff: np.ndarray, rows: np.ndarray,
             y[s, :c] = _max_support_side(M, values[s], y[s, :c], False, tol)
             y[s, c:] = 0.0
     if flagged.size:
-        logging.info("equilibrium selection (mixed): refined %d/%d nodes",
-                     flagged.size, S)
+        logging.info("equilibrium selection (%s): refined %d/%d nodes",
+                     mode, flagged.size, S)
     return x, y
 
 

@@ -209,3 +209,76 @@ def test_equilibrium_selection_random_batch_still_equilibria():
             assert abs(vv - v[b]) < 1e-6, (mode, b)
             # padding stays zero
             assert np.all(xr[b, r:] == 0) and np.all(yr[b, c:] == 0)
+
+
+def test_enumerate_equilibria_known_games():
+    """enumerate_equilibria (pygambit enummixed_solve's zero-sum
+    equivalent, reference tree.py:211-224): every ext(X*) x ext(Y*) pair
+    is an exact equilibrium; known games give the known vertex sets."""
+    # all-zero 2x2: every strategy optimal -> vertices are the corners
+    xs, ys, v = solver.enumerate_equilibria(np.zeros((2, 2)))
+    assert abs(v) < 1e-12 and len(xs) == 2 and len(ys) == 2
+    got = sorted(tuple(np.round(x, 6)) for x in xs)
+    assert got == [(0.0, 1.0), (1.0, 0.0)]
+
+    # matching pennies: unique fully-mixed equilibrium
+    xs, ys, v = solver.enumerate_equilibria(
+        np.array([[1.0, -1.0], [-1.0, 1.0]]))
+    assert len(xs) == 1 and len(ys) == 1
+    np.testing.assert_allclose(xs[0], [0.5, 0.5], atol=1e-9)
+    np.testing.assert_allclose(ys[0], [0.5, 0.5], atol=1e-9)
+
+    # row player has a dominant strategy but the column face is an edge:
+    # M = [[1, 1], [0, 2]]: x* = e1 unique, every y optimal
+    xs, ys, v = solver.enumerate_equilibria(
+        np.array([[1.0, 1.0], [0.0, 2.0]]))
+    assert abs(v - 1.0) < 1e-12
+    assert len(xs) == 1 and len(ys) == 2
+    np.testing.assert_allclose(xs[0], [1.0, 0.0], atol=1e-9)
+
+
+def test_enumerate_equilibria_random_all_pairs_exact():
+    """On random degenerate-prone integer games, every enumerated pair is
+    an exact equilibrium of the LP value, and the list is deterministic."""
+    rng = np.random.default_rng(5)
+    for trial in range(60):
+        A = int(rng.integers(2, 5))
+        M = rng.integers(-1, 2, size=(A, A)).astype(np.float64)
+        xs, ys, v = solver.enumerate_equilibria(M)
+        assert xs and ys
+        for x in xs:
+            for y in ys:
+                assert abs(solver.exploitability(M, x, y, A, A)) < 1e-7, \
+                    (trial, M)
+        xs2, ys2, _ = solver.enumerate_equilibria(M)
+        assert len(xs) == len(xs2) and len(ys) == len(ys2)
+        for a, b in zip(xs, xs2):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_equilibrium_selection_enummixed_purity_pick():
+    """'enummixed' reproduces the reference's stored pick semantics: the
+    purity sort places the purest enumerated equilibrium first
+    (reference tree.py:226-234), and every refined node remains an exact
+    equilibrium of the unchanged value."""
+    rng = np.random.default_rng(7)
+    B, A = 120, 4
+    M = rng.integers(-1, 2, size=(B, A, A)).astype(np.float64)
+    rows = rng.integers(2, A + 1, size=B)
+    cols = rng.integers(2, A + 1, size=B)
+    x, y, v = solver.solve_zero_sum_batch(M, rows, cols)
+    xr, yr = solver.refine_equilibrium_batch(M, rows, cols, x, y, v,
+                                             "enummixed")
+    pure = lambda z: z.max() > 1.0 - 1e-9
+    for b in range(B):
+        r, c = int(rows[b]), int(cols[b])
+        assert abs(solver.exploitability(M[b], xr[b], yr[b], r, c)) < 1e-6
+        assert abs(xr[b, :r] @ M[b, :r, :c] @ yr[b, :c] - v[b]) < 1e-6
+        # purity maximality: if the enumeration contains a both-pure
+        # equilibrium, the stored pick must be both-pure
+        xs, ys, _ = solver.enumerate_equilibria(M[b], r, c)
+        if any(pure(xx) for xx in xs) and any(pure(yy) for yy in ys):
+            # both-pure pairs exist only if SOME pure x pairs with SOME
+            # pure y; in zero-sum every pairing is an equilibrium, so
+            # this is exactly that condition
+            assert pure(xr[b, :r]) and pure(yr[b, :c]), b

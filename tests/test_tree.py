@@ -137,10 +137,12 @@ def test_equilibrium_selection_tree_oracle():
         TreeConfig(equilibrium_selection="mixed", **cfg), seed=5)
     pure = tree_lib.generate_tree(
         TreeConfig(equilibrium_selection="pure", **cfg), seed=5)
-    assert mixed.hash == base.hash == pure.hash
+    enum = tree_lib.generate_tree(
+        TreeConfig(equilibrium_selection="enummixed", **cfg), seed=5)
+    assert mixed.hash == base.hash == pure.hash == enum.hash
     np.testing.assert_array_equal(np.asarray(mixed.root_value),
                                   np.asarray(base.root_value))
-    for t in (mixed, pure):
+    for t in (mixed, pure, enum):
         tree_lib.validate(t)
         # every stored solution is still an exact equilibrium of its node
         A = t.max_actions

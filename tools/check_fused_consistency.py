@@ -53,6 +53,13 @@ def main():
     parser.add_argument("--vtrace-mode", choices=["scan", "associative",
                                                   "auto"], default="auto",
                         help="RNaDConfig.vtrace_mode for the checked step")
+    parser.add_argument("--rows-actor", choices=["auto", "on", "off"],
+                        default="auto",
+                        help="RNaDConfig.rollout_rows_actor (bisection "
+                             "knob: the seat-fused rollout actor)")
+    parser.add_argument("--actor-dtype", choices=["float32", "bfloat16"],
+                        default="float32",
+                        help="RNaDConfig.rollout_actor_dtype")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (sanity mode)")
     args = parser.parse_args()
@@ -106,7 +113,9 @@ def main():
                      fuse_net_passes=args.fuse,
                      learner_layout=args.layout,
                      flat_optimizer=args.flat_optimizer,
-                     vtrace_mode=args.vtrace_mode)
+                     vtrace_mode=args.vtrace_mode,
+                     rollout_rows_actor=args.rows_actor,
+                     rollout_actor_dtype=args.actor_dtype)
     train_step, rollout_jit, learn_jit, _ = rnad_lib.make_rnad_fns(
         net, tree, cfg)
     state = rnad_lib.init_train_state(net, jax.random.PRNGKey(0), A, cfg)
