@@ -60,6 +60,13 @@ def main():
     parser.add_argument("--actor-dtype", choices=["float32", "bfloat16"],
                         default="float32",
                         help="RNaDConfig.rollout_actor_dtype")
+    parser.add_argument("--probe-split", action="store_true",
+                        help="additionally validate the SPLIT rollout's "
+                             "trajectory with a third, small jitted "
+                             "program (policy-vs-recompute kld, value "
+                             "recompute error, reward stats) — isolates "
+                             "whether a split-path FAIL corrupts in the "
+                             "rollout program or the learner program")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (sanity mode)")
     args = parser.parse_args()
@@ -122,6 +129,40 @@ def main():
 
     # Split: rollout and learn as separate device programs.
     state_s, traj = rollout_jit(state)
+
+    if args.probe_split:
+        # Third program, far below the miscompile size class: recompute
+        # the behavior policy and values from the trajectory's own stored
+        # observations and compare against the rollout's records.  Garbage
+        # here => the ROLLOUT program wrote a corrupt trajectory; sane
+        # here with a FAIL below => the LEARNER program misreads it.
+        from rnad_tpu.metrics.nashconv import kld as kld_fn
+
+        @jax.jit
+        def probe(variables, traj):
+            obs, masks = engine.trajectory_observations(packed_t, traj)
+            Tn, Bn = traj.indices.shape
+            obs_flat = obs.reshape((Tn * Bn,) + obs.shape[2:])
+            from rnad_tpu.models import common
+            from rnad_tpu.models import nets as nets_lib
+            logits, values = nets_lib.apply_eval(net, variables,
+                                                 obs_flat.astype(jnp.float32))
+            pi = common.masked_policy(logits.reshape(Tn, Bn, A),
+                                      masks.reshape(Tn, Bn, A))
+            valid = traj.valid()
+            k = kld_fn(traj.policy_bma(), pi, valid,
+                       masks.reshape(Tn, Bn, A))
+            verr = (jnp.abs(values.reshape(Tn, Bn) - traj.values)
+                    * valid).sum() / valid.sum()
+            ret = traj.rewards.sum(0)
+            return k, verr, ret.mean(), jnp.abs(ret).max()
+
+        packed_t = stepping.make_packed_tables(tree)
+        k, verr, rmean, rmax = [float(jax.device_get(v))
+                                for v in probe(state_s.variables, traj)]
+        print(f"probe-split: policy_kld={k:.6g} value_err={verr:.6g} "
+              f"mean_return={rmean:.4f} max|return|={rmax:.2f}", flush=True)
+
     _, metrics_split = learn_jit(state_s, traj, jnp.float32(0.5))
 
     # Fused: the production one-program step on an identical fresh state.
