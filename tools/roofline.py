@@ -174,8 +174,14 @@ def train_model(A: int, T: int, depth: int, B: int, width: int,
 
 def speed_of_light_s(model: dict, peaks: Peaks = V5E,
                      dtype: str = "float32") -> float:
-    peak = peaks.flops_f32 if dtype == "float32" else peaks.flops_bf16
-    return max(model.get("flops_padded", model["flops"]) / peak,
+    # Matmul time is charged at the bf16 rate REGARDLESS of array dtype:
+    # the framework runs XLA's default matmul precision, which on TPU
+    # feeds the MXU bf16 operands even for f32 arrays (measured: an
+    # explicit bf16-operand rows-actor is 2% SLOWER than the f32 path at
+    # 32k/131k lanes — there was nothing left to halve).  ``dtype`` only
+    # matters for the byte side, which callers encode via act_elt_bytes.
+    del dtype
+    return max(model.get("flops_padded", model["flops"]) / peaks.flops_bf16,
                model["bytes"] / peaks.hbm_bytes_per_s)
 
 
@@ -183,16 +189,19 @@ def annotate(model: dict, measured_s: float, peaks: Peaks = V5E,
              dtype: str = "float32") -> dict:
     """Returns roofline fields to merge into a bench record.
 
-    ``pct_of_roof`` is against the ACHIEVABLE roof (tile-padded matmuls vs
-    HBM, whichever binds); ``pct_of_hbm`` isolates the byte side (the
-    per-step byte budget as a fraction of wire speed)."""
+    ``pct_of_roof`` is against the ACHIEVABLE roof (tile-padded matmuls at
+    the bf16 feed rate vs HBM, whichever binds); ``pct_of_hbm`` isolates
+    the byte side (the per-step byte budget as a fraction of wire speed);
+    ``pct_of_sum`` is against the SUM of the two floors — the right bound
+    when XLA serializes the gather and matmul phases of a turn instead of
+    overlapping them."""
     sol = speed_of_light_s(model, peaks, dtype)
-    peak = peaks.flops_f32 if dtype == "float32" else peaks.flops_bf16
-    t_pad = model.get("flops_padded", model["flops"]) / peak
+    t_pad = model.get("flops_padded", model["flops"]) / peaks.flops_bf16
     t_bytes = model["bytes"] / peaks.hbm_bytes_per_s
     return {
         "pct_of_roof": round(100.0 * sol / measured_s, 1),
         "pct_of_hbm": round(100.0 * t_bytes / measured_s, 1),
+        "pct_of_sum": round(100.0 * (t_pad + t_bytes) / measured_s, 1),
         "bound": "hbm" if t_bytes >= t_pad else "mxu-pad",
         "model_gb_per_step": round(model["bytes"] / 1e9, 4),
         "model_gflops_per_step": round(model["flops"] / 1e9, 2),
