@@ -286,14 +286,15 @@ class RNaDConfig:
     #   "off"  — generic actor path (reference-shaped turn).
     rollout_rows_actor: str = "auto"
     # Operand dtype of the seat-fused rows-actor matmuls ("float32" |
-    # "bfloat16"; rows-actor path only).  The rollout is padded-matmul-
-    # bound on TPU (tools/roofline.py: 74-86% of the tile-padded MXU wall
-    # vs ~15% of HBM wire), and bf16 operands with f32 accumulation halve
-    # that binding term with no extra HBM traffic (kernels cast once
-    # outside the turn scan; the gathered row's cast fuses into the MXU
-    # feed).  Logits shift by bf16 rounding only; the stored behavior
-    # policy remains exactly what the actor sampled from, so v-trace
-    # off-policy correctness is untouched.  f32 default = reference-exact.
+    # "bfloat16"; rows-actor path only).  DOCUMENTED NEGATIVE RESULT:
+    # measured 2% SLOWER than f32 at 32k and 131k lanes on v5e — XLA's
+    # default matmul precision already feeds the MXU bf16 operands for
+    # f32 arrays, so the explicit cast only adds work
+    # (docs/PERF_ANALYSIS.md round 5).  Kept for experimentation and for
+    # backends where the default feed is true f32.  Semantics when on:
+    # f32 accumulation, logits shift by bf16 rounding only; the stored
+    # behavior policy remains exactly what the actor sampled from, so
+    # v-trace off-policy correctness is untouched.
     rollout_actor_dtype: str = "float32"
     # Layout of the learner's v-trace/loss block (learn/vtrace.py's
     # batch-minor section).  Every (..., A)-trailing tensor that
