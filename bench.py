@@ -43,11 +43,7 @@ def main():
     import numpy as np
     from rnad_tpu.ops import stepping
 
-    batch = 1 << 17  # 131072 lanes
     num_turns = tree.max_depth
-    iters = 512  # rollouts per timed device program (amortizes the ~30 ms
-    # per-program tunnel round trip to ~1% of the ~2.3 s measurement; the
-    # scan is rolled, so the trip count does not affect compile time)
     packed = stepping.make_packed_tables(tree)
     # Seat-fused rows-actor: both seats' MLP towers as one matmul pair
     # straight off the gathered packed rows — same math up to reduction
@@ -72,39 +68,52 @@ def main():
     # to materialize and costs ~25% at 131k lanes.
     t_weights = jnp.arange(1.0, 2 * num_turns + 1.0)[:, None]
 
-    @jax.jit
-    def run_many(tr, pk, vs, key):
-        def body(carry, k):
-            # policy_minor: the behavior-policy record writes as the
-            # unpadded (T, A, B) buffer instead of the ~128/A-tile-padded
-            # (T, B, A) one — +5.5% at this shape (tools/rollout_probe.py)
-            traj = engine.rollout(tr, actor, vs, k, batch, num_turns, pk,
-                                  rows_actor=rows_actor, policy_minor=True)
-            acc, min_std = carry
-            lane_sig_std = jnp.std((traj.rewards * t_weights).sum(0))
-            return (acc + traj.rewards.sum(),
-                    jnp.minimum(min_std, lane_sig_std)), None
-        carry, _ = jax.lax.scan(body, (jnp.float32(0.0), jnp.float32(1e9)),
-                                jax.random.split(key, iters))
-        return carry
+    # Per-chip throughput is free to pick its batch: 32k lanes sits closer
+    # to the tile-padded matmul floor than 131k (whose per-turn (B, 128)
+    # gather intermediates start brushing scoped memory — the regime that
+    # fully regresses and then miscompiles above 131k, lane-chunk
+    # territory; docs/PERF_ANALYSIS.md).  Both shapes are measured and the
+    # headline is the better one, with both rates recorded.
+    def measure(batch):
+        iters = (1 << 26) // batch  # ~2.3 s per timed program either way
 
-    key = jax.random.PRNGKey(1)
-    np.asarray(run_many(tree, packed, variables, key)[0])  # compile + warm
+        @jax.jit
+        def run_many(tr, pk, vs, key):
+            def body(carry, k):
+                # policy_minor: the behavior-policy record writes as the
+                # unpadded (T, A, B) buffer instead of the ~128/A-tile-
+                # padded (T, B, A) one — +5.5% (tools/rollout_probe.py)
+                traj = engine.rollout(tr, actor, vs, k, batch, num_turns,
+                                      pk, rows_actor=rows_actor,
+                                      policy_minor=True)
+                acc, min_std = carry
+                lane_sig_std = jnp.std((traj.rewards * t_weights).sum(0))
+                return (acc + traj.rewards.sum(),
+                        jnp.minimum(min_std, lane_sig_std)), None
+            carry, _ = jax.lax.scan(body,
+                                    (jnp.float32(0.0), jnp.float32(1e9)),
+                                    jax.random.split(key, iters))
+            return carry
 
-    t0 = time.perf_counter()
-    acc, min_std = run_many(tree, packed, variables,
-                            jax.random.fold_in(key, 1))
-    min_std = float(np.asarray(min_std))
-    dt = time.perf_counter() - t0
-    assert min_std > 0.0, "PRNG lane collapse in the measured program"
-    # Terminal values are in [-1, 1]; outside means the program computed
-    # garbage (the >131k one-program miscompile, docs/PERF_ANALYSIS.md).
-    mean_return = float(np.asarray(acc)) / (batch * iters)
-    assert abs(mean_return) <= 1.0, \
-        f"miscompiled rollout program: mean return {mean_return}"
+        key = jax.random.PRNGKey(1)
+        np.asarray(run_many(tree, packed, variables, key)[0])  # compile
+        t0 = time.perf_counter()
+        acc, min_std = run_many(tree, packed, variables,
+                                jax.random.fold_in(key, 1))
+        min_std = float(np.asarray(min_std))
+        dt = time.perf_counter() - t0
+        assert min_std > 0.0, "PRNG lane collapse in the measured program"
+        # Terminal values are in [-1, 1]; outside means the program
+        # computed garbage (the >131k one-program miscompile,
+        # docs/PERF_ANALYSIS.md).
+        mean_return = float(np.asarray(acc)) / (batch * iters)
+        assert abs(mean_return) <= 1.0, \
+            f"miscompiled rollout program: mean return {mean_return}"
+        return 2 * num_turns * batch * iters / dt
 
-    half_steps = 2 * num_turns * batch * iters
-    rate = half_steps / dt
+    rates = {b: measure(b) for b in (1 << 15, 1 << 17)}
+    best_batch = max(rates, key=rates.get)
+    rate = rates[best_batch]
 
     # -- full train step at 32k lanes (the flagship training shape) --------
     from rnad_tpu.config import RNaDConfig
@@ -139,6 +148,8 @@ def main():
         "value": round(rate, 1),
         "unit": "steps/s",
         "vs_baseline": round(rate / 1e7, 4),
+        "rollout_batch": best_batch,
+        "rollout_rates": {str(b): round(r, 1) for b, r in rates.items()},
         "train_updates_per_s": round(updates_per_s, 1),
         "train_env_steps_per_s": round(
             updates_per_s * train_batch * 2 * num_turns, 1),
