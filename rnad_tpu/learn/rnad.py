@@ -618,23 +618,52 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
     policy_minor_record = (resolve_learner_layout(
         cfg, use_assoc, max_actions=tree.max_actions) and on_policy)
 
+    # The SPLIT-path rollout (the standalone rollout_jit program consumed
+    # by a separately compiled learner: regather mode, the buffered path,
+    # the consistency checker) drops the seat-fused rows-actor at >=131072
+    # lanes on TPU: hardware bisection at (785k-node tree, B=131072, f32)
+    # shows the separately compiled learner computing garbage from an
+    # RA-produced trajectory whose CONTENT is verified sane by a third
+    # small program (policy kld at bf16-feed noise, returns in range) and
+    # whose generic-actor twin is consumed bit-exactly — a cross-program
+    # buffer-layout miscompile in the XLA:TPU large-program class of
+    # docs/PERF_ANALYSIS.md.  The fused one-program step (no cross-program
+    # buffer handoff) is verified bit-exact WITH the rows-actor and keeps
+    # it.
+    split_rows_actor = rows_actor
+    if (rows_actor is not None and cfg.batch_size >= (1 << 17)
+            and jax.default_backend() in ("tpu", "axon")):
+        logging.warning(
+            "split-path rollout: rows_actor disabled at batch %d (>=131072"
+            " lanes: XLA:TPU cross-program miscompile, learn/rnad.py)",
+            cfg.batch_size)
+        split_rows_actor = None
+
     # tree/packed are threaded as explicit jit arguments (not closure
     # constants) so large game tables are runtime inputs, never baked into
     # the compiled executable.
-    def rollout_fn(tree, packed, state: TrainState
-                   ) -> Tuple[TrainState, engine.Trajectory]:
-        key, k_roll = jax.random.split(state.key)
-        init = jnp.ones((cfg.batch_size,), jnp.int32)
-        if constrain_batch is not None:
-            init = constrain_batch(init)
-        traj = engine.rollout_from(tree, actor_fn, state.variables, k_roll,
-                                   init, tree.max_depth, packed,
-                                   store_obs=cfg.store_rollout_obs,
-                                   obs_dtype=obs_store_dtype,
-                                   rows_actor=rows_actor,
-                                   policy_minor=policy_minor_record,
-                                   obs_transform=obs_tf)
-        return state.replace(key=key), traj
+    def make_rollout_fn(ra):
+        def rollout_fn(tree, packed, state: TrainState
+                       ) -> Tuple[TrainState, engine.Trajectory]:
+            key, k_roll = jax.random.split(state.key)
+            init = jnp.ones((cfg.batch_size,), jnp.int32)
+            if constrain_batch is not None:
+                init = constrain_batch(init)
+            traj = engine.rollout_from(tree, actor_fn, state.variables,
+                                       k_roll, init, tree.max_depth, packed,
+                                       store_obs=cfg.store_rollout_obs,
+                                       obs_dtype=obs_store_dtype,
+                                       rows_actor=ra,
+                                       policy_minor=policy_minor_record,
+                                       obs_transform=obs_tf)
+            return state.replace(key=key), traj
+        return rollout_fn
+
+    # NOTE: the fused path embeds THIS function; its program shape is the
+    # hardware-verified one (see _train_step) — do not perturb.
+    rollout_fn = make_rollout_fn(rows_actor)
+    rollout_fn_split = (rollout_fn if split_rows_actor is rows_actor
+                        else make_rollout_fn(split_rows_actor))
 
     def learn_fn(packed, state: TrainState, traj: engine.Trajectory,
                  alpha: jax.Array) -> Tuple[TrainState, Dict]:
@@ -700,7 +729,7 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
         state, traj = jax.lax.optimization_barrier((state, traj))
         return learn_fn(packed, state, traj, alpha)
 
-    _rollout_jit = jax.jit(rollout_fn)
+    _rollout_jit = jax.jit(rollout_fn_split)
     _learn_jit = jax.jit(learn_fn)
 
     def train_step(state, alpha):
