@@ -26,6 +26,15 @@ import numpy as np
 from ..env.engine import Trajectory
 
 
+def collate_slots(slots, lanes):
+    """Gather ``lanes[i]`` lanes from each slot and concatenate along the
+    lane axis — the collate body, shared by the standalone jitted program
+    below and the fused sample+learn program (learn/rnad.py)."""
+    return jax.tree.map(
+        lambda *xs: jnp.concatenate(xs, axis=1),
+        *[jax.tree.map(lambda x: x[:, l], t) for t, l in zip(slots, lanes)])
+
+
 class TrajectoryBuffer:
     def __init__(self, max_size: int):
         self.max_size = max_size
@@ -34,11 +43,7 @@ class TrajectoryBuffer:
         # host-driven per-leaf form costs ~4 device dispatches per slot per
         # step through the remote-TPU tunnel.  Shapes are step-invariant
         # (see sample), so this traces once per buffer fill level.
-        self._collate = jax.jit(
-            lambda slots, lanes: jax.tree.map(
-                lambda *xs: jnp.concatenate(xs, axis=1),
-                *[jax.tree.map(lambda x: x[:, l], t)
-                  for t, l in zip(slots, lanes)]))
+        self._collate = jax.jit(collate_slots)
 
     def __len__(self) -> int:
         return len(self.slots)
@@ -72,11 +77,23 @@ class TrajectoryBuffer:
         choice, and every shape is step-invariant, so the gather+concat
         compiles once.  Slots smaller than their static share contribute
         with-replacement draws for the deficit."""
+        slots, lanes = self.plan(batch_size, rng)
+        if lanes is None:
+            return slots[0]  # on-policy fast path
+        return self._collate(slots, lanes)
+
+    def plan(self, batch_size: int,
+             rng: Optional[np.random.Generator] = None):
+        """The sampling decision alone: ``(slots, lanes)`` ready for
+        ``collate_slots`` — or ``(slot,), None`` for the single-full-slot
+        fast path.  Lets callers fuse the collate INTO a consumer program
+        (the trainer's fused sample+learn step) instead of materializing
+        the sampled trajectory through a separate dispatch."""
         n = len(self.slots)
         if n == 0:
             raise ValueError("sampling from an empty buffer")
         if n == 1 and self.slots[0].batch_size == batch_size:
-            return self.slots[0]  # on-policy fast path
+            return (self.slots[0],), None
         rng = rng or np.random.default_rng()
         sizes = np.array([t.batch_size for t in self.slots], dtype=np.int64)
         counts = np.full((n,), batch_size // n, np.int64)
@@ -93,4 +110,4 @@ class TrajectoryBuffer:
                                        replace=True)])
             used.append(traj)
             lanes_list.append(jnp.asarray(lanes))
-        return self._collate(tuple(used), tuple(lanes_list))
+        return tuple(used), tuple(lanes_list)

@@ -40,6 +40,7 @@ from ..ops import obs_transform as obs_transform_lib
 from ..ops import stepping
 from ..parallel.mesh import host_value
 from . import vtrace, vtrace_assoc
+from . import buffer as buffer_lib
 from .buffer import TrajectoryBuffer
 
 
@@ -749,6 +750,25 @@ def make_rnad_fns(net, tree: GameTree, cfg: RNaDConfig,
     def learn_jit(state, traj, alpha):
         return _learn_jit(packed_tables, state, traj, alpha)
 
+    # Fused sample+learn for the buffered path: the replay gather+concat
+    # runs INSIDE the learner program (one dispatch, and XLA fuses the
+    # lane gather into the trajectory's first consumers instead of
+    # materializing the sampled batch).  Fed by TrajectoryBuffer.plan.
+    def _learn_sampled_fn(packed, state, slots, lanes, alpha):
+        return learn_fn(packed, state, buffer_lib.collate_slots(slots,
+                                                                lanes),
+                        alpha)
+
+    _learn_sampled_jit = jax.jit(_learn_sampled_fn)
+
+    def learn_sampled(state, slots, lanes, alpha):
+        if lanes is None:  # single-full-slot fast path
+            return _learn_jit(packed_tables, state, slots[0], alpha)
+        return _learn_sampled_jit(packed_tables, state, slots, lanes,
+                                  alpha)
+
+    learn_jit.sampled = learn_sampled
+
     # expose the table-as-argument form for callers that wrap the step in a
     # larger jitted program (closing over the tables would bake them into
     # the outer program as constants)
@@ -1040,9 +1060,19 @@ class RNaD:
                             or last_log_steps_host % cfg.buffer_mod == 0):
                         self.state, traj = self.rollout_jit(self.state)
                         buffer.append(traj)
-                    sample = buffer.sample(cfg.batch_size, self._np_rng)
-                    self.state, metrics = self.learn_jit(
-                        self.state, sample, jnp.float32(alpha))
+                    sampled = getattr(self.learn_jit, "sampled", None)
+                    if sampled is not None:
+                        # fused sample+learn: the replay gather runs
+                        # inside the learner program (learn/rnad.py)
+                        slots, lanes = buffer.plan(cfg.batch_size,
+                                                   self._np_rng)
+                        self.state, metrics = sampled(
+                            self.state, slots, lanes, jnp.float32(alpha))
+                    else:  # externally injected learn_jit (parallel/)
+                        sample = buffer.sample(cfg.batch_size,
+                                               self._np_rng)
+                        self.state, metrics = self.learn_jit(
+                            self.state, sample, jnp.float32(alpha))
                 last_log_steps_host += 1
 
                 if self.n % log_mod == 0:

@@ -808,3 +808,49 @@ def test_reg_anchor_best_rotation(tmp_path, small_tree):
                            directory_name="anchor3", runs_root=str(tmp_path),
                            seed=0)
         t3.run(max_updates=1)
+
+
+def test_fused_sample_learn_matches_collate_then_learn(small_tree):
+    """The fused sample+learn program (learn_jit.sampled, fed by
+    TrajectoryBuffer.plan) must produce the same update as collating the
+    sample in its own program and then calling learn_jit."""
+    from rnad_tpu.learn import buffer as buffer_lib
+
+    net = nets.build_net(NetConfig(type="MLP", max_actions=3, width=16))
+    cfg = small_cfg(batch_size=32, n_batches_per_buffer=3, buffer_mod=2)
+    train_step, rollout_jit, learn_jit, _ = rnad_lib.make_rnad_fns(
+        net, small_tree, cfg)
+    state = rnad_lib.init_train_state(net, jax.random.PRNGKey(3), 3, cfg)
+    buf = rnad_lib.TrajectoryBuffer(3)
+    for _ in range(3):
+        state, traj = rollout_jit(state)
+        buf.append(traj)
+
+    rng = np.random.default_rng(0)
+    slots, lanes = buf.plan(cfg.batch_size, rng)
+    assert lanes is not None and len(slots) == 3
+    sample = buffer_lib.collate_slots(slots, lanes)
+    ref_state, ref_metrics = learn_jit(state, sample, jnp.float32(0.5))
+    got_state, got_metrics = learn_jit.sampled(state, slots, lanes,
+                                               jnp.float32(0.5))
+    for k in ref_metrics:
+        np.testing.assert_allclose(float(ref_metrics[k]),
+                                   float(got_metrics[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+    close = jax.tree.map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b),
+                                 rtol=1e-6, atol=1e-8),
+        ref_state.variables, got_state.variables)
+    assert jax.tree.all(close)
+
+    # the single-full-slot fast path routes through plain learn_jit
+    buf2 = rnad_lib.TrajectoryBuffer(1)
+    buf2.append(traj)
+    slots2, lanes2 = buf2.plan(cfg.batch_size, rng)
+    assert lanes2 is None
+    s2, _ = learn_jit.sampled(state, slots2, lanes2, jnp.float32(0.5))
+    s2_ref, _ = learn_jit(state, traj, jnp.float32(0.5))
+    same = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        s2.variables, s2_ref.variables)
+    assert jax.tree.all(same)
