@@ -108,11 +108,13 @@ def main():
     p.add_argument("--compute-dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--reg-anchor", default=None,
-                   choices=["target", "best"],
+                   choices=["target", "best", "fixed"],
                    help="regularization rotation at update boundaries: "
                         "'target' = reference rotation; 'best' = anchor "
                         "pi_reg to the best checkpoint's target whenever "
-                        "the boundary eval worsened (RNaDConfig.reg_anchor)")
+                        "the boundary eval worsened; 'fixed' = never "
+                        "rotate, anchor to the init nets for the whole "
+                        "run (RNaDConfig.reg_anchor)")
     p.add_argument("--obs-lift", type=int, default=None, metavar="C",
                    help="enable the high-dimensional noisy observation "
                         "transform with C lifted channels (the reference's "

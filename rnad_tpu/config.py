@@ -337,6 +337,15 @@ class RNaDConfig:
     #              anchoring to best makes the fixed-point iteration
     #              contract toward the measured optimum.  Requires in-loop
     #              evals (expl_mod > 0).
+    #   "fixed"  — never rotate: pi_reg and pi_reg_prev stay the nets the
+    #              run started from.  With a solver-primed init this is
+    #              KL-anchored fine-tuning — the R-NaD reward transform
+    #              permanently penalizes divergence from the near-Nash
+    #              init, giving up the fixed-point *iteration* (whose
+    #              per-rotation tracking error is the drift mechanism
+    #              measured in docs/SCALE.md (d)) in exchange for a
+    #              stationary anchor.  The schedule's (m) boundaries still
+    #              advance (evals, lr segments); only the reg nets hold.
     reg_anchor: str = "target"
     # Observation transform between the environment and every net input
     # (rollout actor, learner, exact eval): "none" reproduces the reference

@@ -980,6 +980,8 @@ class RNaD:
         """Update-boundary regularization rotation, honoring
         ``cfg.reg_anchor`` (see RNaDConfig; "target" is the reference
         rotation, reference rnad.py:528-531)."""
+        if self.cfg.reg_anchor == "fixed":
+            return  # stationary anchor: the reg nets stay the init nets
         if (self.cfg.reg_anchor == "best"
                 and getattr(self, "_best_target", None) is not None
                 and getattr(self, "_last_nashconv", float("inf"))
@@ -1011,9 +1013,9 @@ class RNaD:
         self.initialize()
         cfg = self.cfg
         self._seed_best_bar()
-        if cfg.reg_anchor not in ("target", "best"):
+        if cfg.reg_anchor not in ("target", "best", "fixed"):
             raise ValueError(f"unknown reg_anchor {cfg.reg_anchor!r}; "
-                             "expected 'target' or 'best'")
+                             "expected 'target', 'best' or 'fixed'")
         if cfg.reg_anchor == "best" and not hasattr(self, "_best_target"):
             loaded = self.store.load_best(self.state)  # resume-safe anchor
             if loaded is not None:

@@ -810,6 +810,41 @@ def test_reg_anchor_best_rotation(tmp_path, small_tree):
         t3.run(max_updates=1)
 
 
+def test_reg_anchor_fixed_never_rotates(tmp_path, small_tree):
+    """cfg.reg_anchor='fixed': update boundaries leave BOTH reg nets at the
+    init nets (KL-anchored fine-tuning, docs/SCALE.md (d)); training
+    otherwise proceeds (params change, evals run, best is stored)."""
+    cfg = small_cfg(bounds=(3,), delta_m=(2,), reg_anchor="fixed")
+    ncfg = NetConfig(type="MLP", max_actions=3, width=16)
+    t = rnad_lib.RNaD(small_tree, cfg, ncfg, directory_name="anchf",
+                      runs_root=str(tmp_path), seed=0)
+    t.initialize()
+    init_reg = jax.tree.map(lambda x: np.asarray(x).copy(),
+                            t.state.variables_reg)
+    t._rotate_for_schedule()
+    for name, tree_now in (("reg", t.state.variables_reg),
+                           ("reg_", t.state.variables_reg_)):
+        same = jax.tree.map(
+            lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+            tree_now, init_reg)
+        assert jax.tree.all(same), name
+
+    t2 = rnad_lib.RNaD(small_tree, cfg, ncfg, directory_name="anchf2",
+                       runs_root=str(tmp_path), seed=0)
+    t2.run(max_updates=3, checkpoint_mod=10**9, expl_mod=1, log_mod=10**9)
+    # reg nets still the init nets after 3 boundaries...
+    same_end = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        t2.state.variables_reg, t2.state.variables_reg_)
+    assert jax.tree.all(same_end)
+    # ...while the learned params moved and an eval was stored
+    moved = jax.tree.map(
+        lambda a, b: not np.array_equal(np.asarray(a), np.asarray(b)),
+        t2.state.variables, t2.state.variables_reg)
+    assert any(jax.tree.leaves(moved))
+    assert t2.store.load_best_meta() is not None
+
+
 def test_fused_sample_learn_matches_collate_then_learn(small_tree):
     """The fused sample+learn program (learn_jit.sampled, fed by
     TrajectoryBuffer.plan) must produce the same update as collating the
